@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host platform devices
+(xla_force_host_platform_device_count) since tests run without TPUs.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep test numerics deterministic & fast
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+REFERENCE_DATA = os.path.join(REFERENCE_DIR, "data")
+TEST_IFS_DIR = os.path.join(REFERENCE_DIR, "test", "ifs")
+
+
+@pytest.fixture(scope="session")
+def reference_data_dir():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("reference data directory not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def test_ifs_dir():
+    if not os.path.isdir(TEST_IFS_DIR):
+        pytest.skip("reference test/ifs directory not available")
+    return TEST_IFS_DIR
