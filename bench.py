@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: columns/sec on the 137-level LW+SW workload.
+
+Runs on whatever jax.devices() provides (the real TPU chip under axon).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md), so
+vs_baseline is measured against ECRAD_BASELINE_COLS_PER_SEC if set in the
+environment, else 1.0 (self-referential first measurement).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tile_columns(pytree, factor):
+    return jax.tree.map(
+        lambda x: (jnp.tile(x, (factor,) + (1,) * (x.ndim - 1))
+                   if hasattr(x, "ndim") and x.ndim > 0 else x), pytree)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ecrad_tpu.config import RadiationConfig, Solver, Overlap
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+
+    input_nc = "/root/reference/test/ifs/ecrad_meridian.nc"
+    sl, thermo, gas, cloud, aer = read_input(input_nc)
+
+    # benchmark config: the most complete solver currently validated
+    solver = os.environ.get("ECRAD_BENCH_SOLVER", "auto")
+    kwargs = dict(
+        use_aerosols=False,
+        do_nearest_spectral_sw_albedo=False,
+        sw_albedo_wavelength_bound=(0.25e-6, 0.44e-6, 0.69e-6, 1.19e-6,
+                                    2.38e-6),
+        i_sw_albedo_index=(1, 2, 3, 4, 5, 6),
+        do_nearest_spectral_lw_emiss=True,
+        lw_emiss_wavelength_bound=(8.0e-6, 13.0e-6),
+        i_lw_emiss_index=(1, 2, 1),
+    )
+    solver_enum = Solver.CLOUDLESS
+    metric_name = "cloudless_columns_per_sec_chip"
+    if solver == "auto":
+        try:
+            from ecrad_tpu.solvers import mcica  # noqa: F401
+            solver_enum = Solver.MCICA
+            metric_name = "mcica_columns_per_sec_chip"
+            kwargs["i_overlap_scheme"] = Overlap.EXPONENTIAL_EXPONENTIAL
+        except ImportError:
+            pass
+
+    cfg = RadiationConfig(i_solver_sw=solver_enum, i_solver_lw=solver_enum,
+                          **kwargs)
+    setup = setup_radiation(cfg)
+
+    factor = int(os.environ.get("ECRAD_BENCH_TILE", "64"))  # 2048 columns
+    batch = tile_columns((sl, thermo, gas, cloud, aer), factor)
+    ncol = batch[0].cos_sza.shape[0]
+
+    fn = jax.jit(lambda s, t, g, c, a: radiation(setup, s, t, g, c, a))
+    # warmup/compile
+    out = fn(*batch)
+    jax.block_until_ready(out)
+
+    nrepeat = int(os.environ.get("ECRAD_BENCH_REPEAT", "10"))
+    t0 = time.perf_counter()
+    for _ in range(nrepeat):
+        out = fn(*batch)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / nrepeat
+
+    cols_per_sec = ncol / elapsed
+    baseline = float(os.environ.get("ECRAD_BASELINE_COLS_PER_SEC", "0"))
+    vs_baseline = cols_per_sec / baseline if baseline > 0 else 1.0
+    print(json.dumps({
+        "metric": metric_name,
+        "value": round(cols_per_sec, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Top-level orchestrator: setup + the radiation() entry point.
+
+Reference parity: radiation/radiation_interface.F90 — setup_radiation
+(:37) builds static tables and spectral mappings; radiation (:175)
+composes gas optics -> cloud optics -> aerosol optics -> solver dispatch
+-> flux assembly. Here setup produces a `RadiationSetup` of numpy
+constants (closed over by jit), and `radiation()` is a pure jittable
+function of the input pytrees.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RadiationConfig, Solver, GasModel
+from .constants import NG_LW, NG_SW
+from .optics.rrtmg.gas_optics import (
+    WAVENUM1_LW, WAVENUM1_SW, WAVENUM2_LW, WAVENUM2_SW,
+    GasOpticsSpec, gas_optics, make_spec,
+)
+from .optics.rrtmg.tables import load_tables
+from .optics.spectral_mapping import expand_to_g, interval_mapping
+from .solvers.cloudless import solver_cloudless_lw, solver_cloudless_sw
+from .types import Aerosol, Cloud, Flux, GasConcs, SingleLevel, \
+    Thermodynamics
+
+
+@dataclass
+class RadiationSetup:
+    """Static (trace-time constant) data for a given configuration."""
+    config: RadiationConfig
+    tables: dict                       # RRTMG coefficient tables (numpy)
+    spec: GasOpticsSpec
+    # albedo/emissivity interval mappings (one of map/weights is None)
+    sw_albedo_map: Optional[np.ndarray]
+    sw_albedo_weights: Optional[np.ndarray]
+    lw_emiss_map: Optional[np.ndarray]
+    lw_emiss_weights: Optional[np.ndarray]
+    cloud_optics: Optional[object] = None
+    aerosol_optics: Optional[object] = None
+    pdf_sampler: Optional[object] = None
+
+
+def setup_radiation(config: RadiationConfig) -> RadiationSetup:
+    """Load tables & precompute spectral mappings
+    (radiation_interface.F90:37-134)."""
+    config = config.consolidated()
+    if config.i_gas_model != GasModel.RRTMG_IFS:
+        raise NotImplementedError("only the RRTMG-IFS gas model has a "
+                                  "spectral implementation; use the "
+                                  "monochromatic path via solver modules")
+    tables = load_tables()
+    spec = make_spec(
+        reorder_lw=config.i_solver_lw == Solver.SPARTACUS,
+        reorder_sw=config.i_solver_sw == Solver.SPARTACUS,
+        tables=tables)
+
+    sw_map, sw_weights = interval_mapping(
+        config.sw_albedo_wavelength_bound, config.i_sw_albedo_index,
+        WAVENUM1_SW, WAVENUM2_SW, config.do_nearest_spectral_sw_albedo)
+    lw_map, lw_weights = interval_mapping(
+        config.lw_emiss_wavelength_bound, config.i_lw_emiss_index,
+        WAVENUM1_LW, WAVENUM2_LW, config.do_nearest_spectral_lw_emiss)
+
+    setup = RadiationSetup(
+        config=config, tables=tables, spec=spec,
+        sw_albedo_map=sw_map, sw_albedo_weights=sw_weights,
+        lw_emiss_map=lw_map, lw_emiss_weights=lw_weights)
+
+    if (config.i_solver_sw != Solver.CLOUDLESS
+            or config.i_solver_lw != Solver.CLOUDLESS):
+        from .optics.cloud import setup_cloud_optics
+        setup.cloud_optics = setup_cloud_optics(config)
+    if config.use_aerosols:
+        from .optics.aerosol import setup_aerosol_optics
+        setup.aerosol_optics = setup_aerosol_optics(config)
+    if config.i_solver_sw == Solver.MCICA or \
+            config.i_solver_lw == Solver.MCICA:
+        from .solvers.pdf_sampler import setup_pdf_sampler
+        setup.pdf_sampler = setup_pdf_sampler(config)
+    return setup
+
+
+def get_albedos(setup: RadiationSetup, single_level: SingleLevel):
+    """Per-g surface albedos (radiation_single_level.F90:204-330).
+
+    Returns (sw_albedo_diffuse, sw_albedo_direct, lw_albedo), each
+    (ncol, ng)."""
+    band_g_sw = setup.spec.band_from_reordered_g_sw
+    band_g_lw = setup.spec.band_from_reordered_g_lw
+    sw_diffuse = expand_to_g(single_level.sw_albedo, setup.sw_albedo_map,
+                             setup.sw_albedo_weights, band_g_sw)
+    if single_level.sw_albedo_direct is not None:
+        sw_direct = expand_to_g(single_level.sw_albedo_direct,
+                                setup.sw_albedo_map,
+                                setup.sw_albedo_weights, band_g_sw)
+    else:
+        sw_direct = sw_diffuse
+    lw_albedo = 1.0 - expand_to_g(single_level.lw_emissivity,
+                                  setup.lw_emiss_map,
+                                  setup.lw_emiss_weights, band_g_lw)
+    return sw_diffuse, sw_direct, lw_albedo
+
+
+def _indexed_band_sum(flux_g, band_from_g, nbands):
+    """Sum per-g values into bands: (ncol, ..., ng) -> (ncol, ..., nb).
+
+    One-hot matmul (MXU-friendly; radiation_flux.F90:518 indexed_sum)."""
+    onehot = jnp.asarray(
+        np.eye(nbands, dtype=np.float32)[:, band_from_g])  # (nb, ng)
+    return jnp.einsum("...g,bg->...b", flux_g, onehot)
+
+
+def radiation(setup: RadiationSetup, single_level: SingleLevel,
+              thermodynamics: Thermodynamics, gas: GasConcs,
+              cloud: Optional[Cloud] = None,
+              aerosol: Optional[Aerosol] = None) -> Flux:
+    """Compute radiative fluxes (radiation_interface.F90:175-473)."""
+    cfg = setup.config
+    sw_alb_diff, sw_alb_dir, lw_albedo = get_albedos(setup, single_level)
+
+    go = gas_optics(
+        thermodynamics.pressure_hl, thermodynamics.temperature_hl,
+        gas.mixing_ratio, single_level.skin_temperature,
+        single_level.cos_sza, single_level.solar_irradiance,
+        setup.spec, tables=setup.tables, lw_albedo=lw_albedo,
+        min_gas_od_lw=cfg.min_gas_od_lw, min_gas_od_sw=cfg.min_gas_od_sw,
+        spectral_solar_scaling=(single_level.spectral_solar_scaling
+                                if cfg.use_spectral_solar_scaling
+                                else None),
+        dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64)
+
+    ncol, nlev, _ = go.od_lw.shape
+    zeros_ssa_lw = jnp.zeros_like(go.od_lw)
+
+    # ---- aerosol merge (clear-sky includes aerosols) ---------------------
+    od_lw, ssa_lw, g_lw = go.od_lw, zeros_ssa_lw, zeros_ssa_lw
+    od_sw, ssa_sw, g_sw = go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw)
+    if cfg.use_aerosols and aerosol is not None and \
+            setup.aerosol_optics is not None:
+        from .optics.aerosol import add_aerosol_optics
+        (od_lw, ssa_lw, g_lw, od_sw, ssa_sw, g_sw) = add_aerosol_optics(
+            setup, thermodynamics, gas, aerosol,
+            od_lw, ssa_lw, g_lw, od_sw, ssa_sw, g_sw)
+
+    # ---- solvers ----------------------------------------------------------
+    flux = Flux()
+    lw_scat_clear = cfg.do_lw_aerosol_scattering and cfg.use_aerosols
+
+    if cfg.do_lw:
+        if cfg.i_solver_lw == Solver.CLOUDLESS:
+            lw = solver_cloudless_lw(od_lw, ssa_lw, g_lw, go.planck_hl,
+                                     go.lw_emission, lw_albedo,
+                                     do_scattering=lw_scat_clear)
+            lw_clear = lw
+        else:
+            from .solvers.dispatch import solve_lw
+            lw, lw_clear, extras_lw = solve_lw(
+                setup, single_level, thermodynamics, gas, cloud,
+                od_lw, ssa_lw, g_lw, go, lw_albedo, lw_scat_clear)
+        flux = flux.replace(
+            lw_up=lw.up.sum(-1), lw_dn=lw.dn.sum(-1),
+            lw_up_clear=lw_clear.up.sum(-1),
+            lw_dn_clear=lw_clear.dn.sum(-1),
+            lw_dn_surf_g=lw.dn[:, -1, :],
+            lw_dn_surf_band=_indexed_band_sum(
+                lw.dn[:, -1, :], setup.spec.band_from_reordered_g_lw, 16),
+            lw_dn_surf_clear_band=_indexed_band_sum(
+                lw_clear.dn[:, -1, :],
+                setup.spec.band_from_reordered_g_lw, 16),
+        )
+        if cfg.i_solver_lw != Solver.CLOUDLESS:
+            flux = flux.replace(**extras_lw)
+
+    if cfg.do_sw:
+        if cfg.i_solver_sw == Solver.CLOUDLESS:
+            sw = solver_cloudless_sw(od_sw, ssa_sw, g_sw, go.incoming_sw,
+                                     single_level.cos_sza, sw_alb_diff,
+                                     sw_alb_dir)
+            sw_clear = sw
+        else:
+            from .solvers.dispatch import solve_sw
+            sw, sw_clear, extras_sw = solve_sw(
+                setup, single_level, thermodynamics, gas, cloud,
+                od_sw, ssa_sw, g_sw, go, sw_alb_diff, sw_alb_dir)
+        band_g = setup.spec.band_from_reordered_g_sw
+        flux = flux.replace(
+            sw_up=sw.up.sum(-1),
+            sw_dn=(sw.dn_diffuse + sw.dn_direct).sum(-1),
+            sw_dn_direct=sw.dn_direct.sum(-1),
+            sw_up_clear=sw_clear.up.sum(-1),
+            sw_dn_clear=(sw_clear.dn_diffuse + sw_clear.dn_direct).sum(-1),
+            sw_dn_direct_clear=sw_clear.dn_direct.sum(-1),
+            sw_dn_diffuse_surf_g=sw.dn_diffuse[:, -1, :],
+            sw_dn_direct_surf_g=sw.dn_direct[:, -1, :],
+        )
+        if cfg.do_surface_sw_spectral_flux:
+            flux = flux.replace(
+                sw_dn_surf_band=_indexed_band_sum(
+                    (sw.dn_diffuse + sw.dn_direct)[:, -1, :], band_g, 14),
+                sw_dn_direct_surf_band=_indexed_band_sum(
+                    sw.dn_direct[:, -1, :], band_g, 14),
+                sw_dn_surf_clear_band=_indexed_band_sum(
+                    (sw_clear.dn_diffuse + sw_clear.dn_direct)[:, -1, :],
+                    band_g, 14),
+                sw_dn_direct_surf_clear_band=_indexed_band_sum(
+                    sw_clear.dn_direct[:, -1, :], band_g, 14),
+            )
+        if cfg.i_solver_sw != Solver.CLOUDLESS:
+            flux = flux.replace(**extras_sw)
+
+    return flux

@@ -1,0 +1,152 @@
+"""Read driver input NetCDF files into the framework's data types.
+
+Reference parity: driver/ecrad_driver_read_input.F90 — flexible variable
+naming (`q` vs `h2o_mmr` vs `h2o_vmr`, per-gas `_mmr`/`_vmr` variants,
+scalar vs per-column solar irradiance), per-column `iseed`, optional cloud
+heterogeneity fields, aerosol 3-D read with (col, type, lev) permutation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DriverConfig
+from ..constants import GAS_NAMES
+from ..types import Aerosol, Cloud, GasConcs, SingleLevel, Thermodynamics
+from .netcdf import NetcdfFile
+
+
+def read_input(path: str, driver_config: Optional[DriverConfig] = None
+               ) -> Tuple[SingleLevel, Thermodynamics, GasConcs, Cloud,
+                          Aerosol]:
+    dc = driver_config or DriverConfig()
+    f = NetcdfFile(path)
+
+    pressure_hl = f.read("pressure_hl")
+    temperature_hl = f.read("temperature_hl")
+    ncol, nlevp1 = pressure_hl.shape
+    nlev = nlevp1 - 1
+
+    # ---- single level -----------------------------------------------------
+    cos_sza, _ = f.read_any(["cos_solar_zenith_angle", "cos_sza"])
+    skin_t = f.read("skin_temperature")
+    sw_albedo = f.read("sw_albedo")
+    if sw_albedo.ndim == 1:
+        sw_albedo = sw_albedo[:, None]
+    sw_albedo_direct, _ = f.read_any(["sw_albedo_direct"])
+    if sw_albedo_direct is not None and sw_albedo_direct.ndim == 1:
+        sw_albedo_direct = sw_albedo_direct[:, None]
+    lw_emissivity = f.read("lw_emissivity")
+    if lw_emissivity.ndim == 1:
+        lw_emissivity = lw_emissivity[:, None]
+    solar_irradiance = float(np.asarray(f.read("solar_irradiance",
+                                               np.float64(1366.0))))
+    if dc.solar_irradiance_override > 0.0:
+        solar_irradiance = dc.solar_irradiance_override
+    iseed, _ = f.read_any(["iseed"])
+    if iseed is None:
+        iseed = np.arange(1, ncol + 1)
+    if dc.cos_sza_override >= 0.0:
+        cos_sza = np.full(ncol, dc.cos_sza_override)
+    if dc.skin_temperature_override >= 0.0:
+        skin_t = np.full(ncol, dc.skin_temperature_override)
+    if dc.sw_albedo_override >= 0.0:
+        sw_albedo = np.full_like(sw_albedo, dc.sw_albedo_override)
+        if sw_albedo_direct is not None:
+            sw_albedo_direct = np.full_like(sw_albedo_direct,
+                                            dc.sw_albedo_override)
+    if dc.lw_emissivity_override >= 0.0:
+        lw_emissivity = np.full_like(lw_emissivity,
+                                     dc.lw_emissivity_override)
+
+    single_level = SingleLevel(
+        cos_sza=jnp.asarray(cos_sza, jnp.float32),
+        skin_temperature=jnp.asarray(skin_t, jnp.float32),
+        sw_albedo=jnp.asarray(sw_albedo, jnp.float32),
+        sw_albedo_direct=(None if sw_albedo_direct is None
+                          else jnp.asarray(sw_albedo_direct, jnp.float32)),
+        lw_emissivity=jnp.asarray(lw_emissivity, jnp.float32),
+        solar_irradiance=solar_irradiance,
+        iseed=jnp.asarray(np.asarray(iseed), jnp.int32),
+    )
+
+    thermodynamics = Thermodynamics(
+        pressure_hl=jnp.asarray(pressure_hl, jnp.float32),
+        temperature_hl=jnp.asarray(temperature_hl, jnp.float32),
+    )
+
+    # ---- gases ------------------------------------------------------------
+    gas = GasConcs.create(ncol, nlev)
+    scalings = {
+        "h2o": dc.h2o_scaling, "co2": dc.co2_scaling, "o3": dc.o3_scaling,
+        "ch4": dc.ch4_scaling, "n2o": dc.n2o_scaling, "co": dc.co_scaling,
+        "no2": dc.nox_scaling, "cfc11": dc.cfc11_scaling,
+        "cfc12": dc.cfc12_scaling, "hcfc22": dc.hcfc22_scaling,
+        "ccl4": dc.ccl4_scaling,
+    }
+    for name in GAS_NAMES:
+        candidates = ([f"{name}_mmr", f"{name}_vmr", name]
+                      if name != "h2o" else
+                      ["q", "h2o_mmr", "h2o_vmr"])
+        data, found = f.read_any(candidates)
+        if data is None:
+            continue
+        data = jnp.asarray(data, jnp.float32)
+        if found.endswith("_vmr"):
+            gas = gas.put_vmr(name, data)
+        else:
+            gas = gas.put(name, data)
+        s = scalings.get(name, 1.0)
+        if s != 1.0:
+            gas = gas.scale(name, s)
+
+    # ---- cloud ------------------------------------------------------------
+    q_liq, _ = f.read_any(["q_liquid", "q_liq"],
+                          np.zeros((ncol, nlev)))
+    q_ice, _ = f.read_any(["q_ice"], np.zeros((ncol, nlev)))
+    re_liq, _ = f.read_any(["re_liquid"], np.full((ncol, nlev), 10e-6))
+    re_ice, _ = f.read_any(["re_ice"], np.full((ncol, nlev), 50e-6))
+    frac, _ = f.read_any(["cloud_fraction"], np.zeros((ncol, nlev)))
+    if dc.cloud_fraction_override >= 0.0:
+        frac = np.where(np.asarray(frac) > 0.0,
+                        dc.cloud_fraction_override, 0.0)
+    fsd, _ = f.read_any(["fractional_std"])
+    if dc.fractional_std > 0.0:
+        fsd = np.full((ncol, nlev), dc.fractional_std)
+    overlap, _ = f.read_any(["overlap_param"])
+    inv_eff, _ = f.read_any(["inv_cloud_effective_size"])
+    inv_inhom, _ = f.read_any(["inv_inhom_effective_size"])
+    if dc.high_inv_effective_size > 0.0 or dc.effective_size_scaling > 0.0:
+        pass  # handled by driver-level overrides later
+    cloud = Cloud(
+        q_liq=jnp.asarray(q_liq, jnp.float32) * dc.q_liquid_scaling,
+        q_ice=jnp.asarray(q_ice, jnp.float32) * dc.q_ice_scaling,
+        re_liq=jnp.asarray(re_liq, jnp.float32),
+        re_ice=jnp.asarray(re_ice, jnp.float32),
+        fraction=jnp.asarray(frac, jnp.float32),
+        fractional_std=(None if fsd is None
+                        else jnp.asarray(fsd, jnp.float32)),
+        overlap_param=(None if overlap is None
+                       else jnp.asarray(overlap, jnp.float32)),
+        inv_cloud_effective_size=(None if inv_eff is None
+                                  else jnp.asarray(inv_eff, jnp.float32)),
+        inv_inhom_effective_size=(None if inv_inhom is None
+                                  else jnp.asarray(inv_inhom, jnp.float32)),
+    )
+    if dc.overlap_decorr_length > 0.0:
+        cloud = cloud.set_overlap_param(thermodynamics,
+                                        dc.overlap_decorr_length)
+
+    # ---- aerosol ----------------------------------------------------------
+    aer_mmr, _ = f.read_any(["aerosol_mmr"])
+    if aer_mmr is not None:
+        # stored (col, type, lev) -> (col, lev, type)
+        aer_mmr = jnp.asarray(np.transpose(aer_mmr, (0, 2, 1)), jnp.float32)
+        aerosol = Aerosol(mixing_ratio=aer_mmr, istartlev=0, iendlev=nlev)
+    else:
+        aerosol = Aerosol(mixing_ratio=jnp.zeros((ncol, nlev, 1),
+                                                 jnp.float32))
+    f.close()
+    return single_level, thermodynamics, gas, cloud, aerosol

@@ -1,0 +1,219 @@
+"""Adding method for independent-column radiative transfer, as parallel
+prefix scans.
+
+Reference parity: radiation/radiation_adding_ica_sw.F90:24-147 and
+radiation_adding_ica_lw.F90:32-324. The reference's three sequential
+level loops (direct-beam descent, albedo/source ascent, flux descent) are
+first-order linear (or Moebius) recurrences; here each becomes a
+`jax.lax.associative_scan` over the level axis so the level dimension no
+longer serializes the TPU. A sequential `lax.scan` fallback is provided
+for verification (`method='sequential'`).
+
+All arrays are (..., nlev[+1], ng)-shaped with the level axis at -2,
+TOA first (ecRad orientation).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# scan primitives
+# ---------------------------------------------------------------------------
+
+def _affine_scan(a, b, x0, axis, reverse=False):
+    """Solve x_{k+1} = a_k x_k + b_k with x_0 = x0 via associative scan.
+
+    a, b: (..., n, ...) along `axis`. Returns x of size n+1 along axis
+    (including x0 at the start). With reverse=True solves
+    x_k = a_k x_{k+1} + b_k given x_n = x0, returning x with x0 at the end.
+    """
+    if reverse:
+        a = jnp.flip(a, axis)
+        b = jnp.flip(b, axis)
+
+    def combine(lo, hi):
+        a1, b1 = lo
+        a2, b2 = hi
+        return a2 * a1, a2 * b1 + b2
+
+    acum, bcum = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    x0e = jnp.expand_dims(x0, axis) if x0.ndim == a.ndim - 1 else x0
+    x_rest = acum * x0e + bcum
+    x = jnp.concatenate([x0e, x_rest], axis=axis)
+    if reverse:
+        x = jnp.flip(x, axis)
+    return x
+
+
+def _moebius_scan_albedo(ref, trans, albedo_surf, axis):
+    """Upward albedo recurrence A_j = R_j + T_j^2 A_{j+1}/(1 - A_{j+1} R_j)
+    as a scan of 2x2 Moebius compositions.
+
+    A_j = (m00 A_{j+1} + m01) / (m10 A_{j+1} + m11) with
+    m = [[T^2 - R^2, R], [-R, 1]].
+    Returns A with size n+1 along axis (A[n] = albedo_surf at the end).
+    """
+    # build per-layer Moebius matrices, ordered surface->TOA for the scan
+    m00 = trans * trans - ref * ref
+    m01 = ref
+    m10 = -ref
+    m11 = jnp.ones_like(ref)
+    # scan from the surface upwards: flip so index 0 = deepest layer
+    elems = tuple(jnp.flip(x, axis) for x in (m00, m01, m10, m11))
+
+    def combine(lo, hi):
+        # lo applied first (closer to surface), hi composes on top
+        a00, a01, a10, a11 = lo
+        b00, b01, b10, b11 = hi
+        c00 = b00 * a00 + b01 * a10
+        c01 = b00 * a01 + b01 * a11
+        c10 = b10 * a00 + b11 * a10
+        c11 = b10 * a01 + b11 * a11
+        # normalize to keep entries O(1); Moebius transforms are
+        # scale-invariant
+        norm = jnp.maximum(jnp.abs(c11), 1e-12)
+        return c00 / norm, c01 / norm, c10 / norm, c11 / norm
+
+    c00, c01, c10, c11 = jax.lax.associative_scan(combine, elems, axis=axis)
+    asurf = jnp.expand_dims(albedo_surf, axis)
+    albedo = (c00 * asurf + c01) / (c10 * asurf + c11)
+    albedo = jnp.flip(albedo, axis)  # back to TOA-first layer order
+    # append surface albedo so result indexes half-levels (n+1)
+    return jnp.concatenate([albedo, asurf], axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# LW adding (radiation_adding_ica_lw.F90:32-131)
+# ---------------------------------------------------------------------------
+
+def adding_lw(reflectance, transmittance, source_up, source_dn,
+              emission_surf, albedo_surf, method="scan"):
+    """Full LW adding with scattering.
+
+    reflectance/transmittance/source_up/source_dn: (..., nlev, ng),
+    emission_surf/albedo_surf: (..., ng).
+    Returns (flux_up, flux_dn), each (..., nlev+1, ng).
+    """
+    axis = -2
+    if method == "sequential":
+        return _adding_lw_sequential(reflectance, transmittance, source_up,
+                                     source_dn, emission_surf, albedo_surf)
+    # 1) albedo of the atmosphere below each half-level
+    albedo = _moebius_scan_albedo(reflectance, transmittance, albedo_surf,
+                                  axis)
+    alb_below = albedo[..., 1:, :]  # A_{j+1} per layer j
+    inv_denom = 1.0 / (1.0 - alb_below * reflectance)
+    # 2) upward source: s_j = beta_j + alpha_j s_{j+1}
+    alpha = transmittance * inv_denom
+    beta = source_up + transmittance * alb_below * source_dn * inv_denom
+    source = _affine_scan(alpha, beta, emission_surf, axis, reverse=True)
+    # 3) downward flux: fd_{j+1} = (T_j fd_j + R_j s_{j+1} + Sd_j) invd_j
+    a_dn = transmittance * inv_denom
+    b_dn = (reflectance * source[..., 1:, :] + source_dn) * inv_denom
+    zero_top = jnp.zeros_like(emission_surf)
+    flux_dn = _affine_scan(a_dn, b_dn, zero_top, axis)
+    flux_up = albedo * flux_dn + source
+    return flux_up, flux_dn
+
+
+def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
+                          albedo_surf):
+    axis = -2
+    nlev = ref.shape[axis]
+
+    def up_body(carry, x):
+        albedo_below, source_below = carry
+        r, t, su, sd = x
+        inv_denom = 1.0 / (1.0 - albedo_below * r)
+        albedo = r + t * t * albedo_below * inv_denom
+        source = su + t * (source_below + albedo_below * sd) * inv_denom
+        return (albedo, source), (albedo, source, inv_denom)
+
+    xs = tuple(jnp.flip(jnp.moveaxis(v, axis, 0), 0)
+               for v in (ref, trans, src_up, src_dn))
+    (_, _), (alb_rev, src_rev, invd_rev) = jax.lax.scan(
+        up_body, (albedo_surf, emission_surf), xs)
+    albedo = jnp.concatenate(
+        [jnp.flip(jnp.moveaxis(alb_rev, 0, axis), axis),
+         jnp.expand_dims(albedo_surf, axis)], axis)
+    source = jnp.concatenate(
+        [jnp.flip(jnp.moveaxis(src_rev, 0, axis), axis),
+         jnp.expand_dims(emission_surf, axis)], axis)
+    inv_denom = jnp.flip(jnp.moveaxis(invd_rev, 0, axis), axis)
+
+    def dn_body(fd, x):
+        t, r, sd, s_below, invd = x
+        fd_next = (t * fd + r * s_below + sd) * invd
+        return fd_next, fd_next
+
+    xs2 = tuple(jnp.moveaxis(v, axis, 0) for v in (
+        trans, ref, src_dn, source[..., 1:, :], inv_denom))
+    zero = jnp.zeros_like(emission_surf)
+    _, fd_rest = jax.lax.scan(dn_body, zero, xs2)
+    flux_dn = jnp.concatenate(
+        [jnp.expand_dims(zero, axis), jnp.moveaxis(fd_rest, 0, axis)], axis)
+    flux_up = albedo * flux_dn + source
+    return flux_up, flux_dn
+
+
+def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
+                            emission_surf, albedo_surf):
+    """No-scattering LW fluxes: down then up
+    (radiation_adding_ica_lw.F90:272-324)."""
+    axis = -2
+    zero = jnp.zeros_like(emission_surf)
+    # down: fd_{j+1} = T_j fd_j + Sd_j
+    flux_dn = _affine_scan(transmittance, source_dn, zero, axis)
+    # up from surface: fu_surf = emission + albedo*fd_surf;
+    # fu_j = T_j fu_{j+1} + Su_j
+    fu_surf = emission_surf + albedo_surf * flux_dn[..., -1, :]
+    flux_up = _affine_scan(transmittance, source_up, fu_surf, axis,
+                           reverse=True)
+    return flux_up, flux_dn
+
+
+# ---------------------------------------------------------------------------
+# SW adding (radiation_adding_ica_sw.F90:24-147)
+# ---------------------------------------------------------------------------
+
+def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
+              trans_dir_dir, incoming_toa, albedo_surf_diffuse,
+              albedo_surf_direct, cos_sza, method="scan"):
+    """SW adding. All layer quantities (..., nlev, ng); incoming_toa and
+    albedos (..., ng); cos_sza (...,) per-column.
+
+    The direct 'flux' carried through the recurrences is the flux into a
+    plane PERPENDICULAR to the sun; outputs multiply by cos_sza at the
+    end like the reference. Returns (flux_up, flux_dn_diffuse,
+    flux_dn_direct), each (..., nlev+1, ng).
+    """
+    axis = -2
+    cs = jnp.asarray(cos_sza)[..., None]  # (..., 1) vs g axis
+    zero = jnp.zeros_like(incoming_toa)
+    # 1) direct beam descent: fdir_{j+1} = t_dir_j fdir_j
+    flux_dn_direct = _affine_scan(trans_dir_dir,
+                                  jnp.zeros_like(trans_dir_dir),
+                                  incoming_toa, axis)
+    # 2) albedo ascent
+    albedo = _moebius_scan_albedo(reflectance, transmittance,
+                                  albedo_surf_diffuse, axis)
+    alb_below = albedo[..., 1:, :]
+    inv_denom = 1.0 / (1.0 - alb_below * reflectance)
+    # 3) source ascent: s_j = beta + alpha s_{j+1}
+    fdir_top = flux_dn_direct[..., :-1, :]  # direct flux entering layer j
+    alpha = transmittance * inv_denom
+    beta = (ref_dir * fdir_top
+            + transmittance * alb_below * trans_dir_diff * fdir_top
+            * inv_denom)
+    source_surf = albedo_surf_direct * flux_dn_direct[..., -1, :] * cs
+    source = _affine_scan(alpha, beta, source_surf, axis, reverse=True)
+    # 4) diffuse flux descent
+    a_dn = transmittance * inv_denom
+    b_dn = (reflectance * source[..., 1:, :]
+            + trans_dir_diff * fdir_top) * inv_denom
+    flux_dn_diffuse = _affine_scan(a_dn, b_dn, zero, axis)
+    flux_up = albedo * flux_dn_diffuse + source
+    flux_dn_direct = flux_dn_direct * cs[..., None, :]
+    return flux_up, flux_dn_diffuse, flux_dn_direct

@@ -416,6 +416,13 @@ def main():
                            True, kb.ndim - 1)
             out[f"lw{band}_absb"] = flatten_major(red).astype(np.float64)
 
+        # raw module names (yoerrto*) -> canonical output names
+        lw_renames = {
+            "fracrefao": "fracrefa", "fracrefbo": "fracrefb",
+            "selfrefo": "selfref", "forrefo": "forref",
+            "ccl4o": "ccl4", "cfc11adjo": "cfc11adj",
+            "cfc12o": "cfc12", "cfc22adjo": "cfc22adj",
+        }
         for name, shape in LW_SRC[band].items():
             arr = src.array(name, shape)
             weighted = name not in PLAIN_SUM
@@ -427,26 +434,7 @@ def main():
                 g_axis = len(shape) - 1
             red = reduce_g(arr, b0, ngn_band, grp_off, ngc, rwgt_lw,
                            weighted, g_axis)
-            out[f"lw{band}_{name.rstrip('o') if name.endswith('o') and not name.endswith('mo') else name}"] = red
-        # normalize names: selfrefo->selfref etc. handled above via rstrip;
-        # fix the ones rstrip would mangle
-    # Clean LW key names explicitly (avoid rstrip surprises)
-    renames = {}
-    for key in list(out.keys()):
-        m = re.match(r"lw(\d+)_(.+)$", key)
-        if not m:
-            continue
-        band, name = m.group(1), m.group(2)
-        canonical = {
-            "fracrefa": "fracrefa", "fracrefb": "fracrefb",
-            "selfref": "selfref", "forref": "forref",
-            "ccl4": "ccl4", "cfc11adj": "cfc11adj", "cfc12": "cfc12",
-            "cfc22adj": "cfc22adj",
-        }.get(name, name)
-        renames[key] = f"lw{band}_{canonical}"
-    for old, new in renames.items():
-        if old != new:
-            out[new] = out.pop(old)
+            out[f"lw{band}_{lw_renames.get(name, name)}"] = red
 
     # ---- SW binary + per-band tables --------------------------------------
     sw_records = read_fortran_records(os.path.join(ref, "data", "RADSRTM"))
