@@ -146,12 +146,29 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             setup, thermodynamics, gas, aerosol,
             od_lw, ssa_lw, g_lw, od_sw, ssa_sw, g_sw)
 
+    # ---- cloud optics -------------------------------------------------------
+    needs_cloud = (cfg.i_solver_sw != Solver.CLOUDLESS
+                   or cfg.i_solver_lw != Solver.CLOUDLESS)
+    cloud_props = None
+    if needs_cloud and cloud is not None:
+        from .optics.cloud import cloud_optics
+        if cloud.fractional_std is None:
+            cloud = cloud.replace(
+                fractional_std=jnp.zeros_like(cloud.fraction))
+        if cloud.overlap_param is None:
+            cloud = cloud.set_overlap_param(thermodynamics, 2000.0)
+        cloud = cloud.crop_cloud_fraction(cfg.cloud_fraction_threshold,
+                                          cfg.cloud_mixing_ratio_threshold)
+        cloud_props = cloud_optics(cfg, setup.cloud_optics,
+                                   thermodynamics.pressure_hl,
+                                   thermodynamics.temperature_hl, cloud)
+
     # ---- solvers ----------------------------------------------------------
     flux = Flux()
     lw_scat_clear = cfg.do_lw_aerosol_scattering and cfg.use_aerosols
 
     if cfg.do_lw:
-        if cfg.i_solver_lw == Solver.CLOUDLESS:
+        if cfg.i_solver_lw == Solver.CLOUDLESS or cloud_props is None:
             lw = solver_cloudless_lw(od_lw, ssa_lw, g_lw, go.planck_hl,
                                      go.lw_emission, lw_albedo,
                                      do_scattering=lw_scat_clear)
@@ -159,8 +176,9 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         else:
             from .solvers.dispatch import solve_lw
             lw, lw_clear, extras_lw = solve_lw(
-                setup, single_level, thermodynamics, gas, cloud,
-                od_lw, ssa_lw, g_lw, go, lw_albedo, lw_scat_clear)
+                setup, single_level, cloud, cloud_props,
+                od_lw, ssa_lw, g_lw, go.planck_hl, go.lw_emission,
+                lw_albedo)
         flux = flux.replace(
             lw_up=lw.up.sum(-1), lw_dn=lw.dn.sum(-1),
             lw_up_clear=lw_clear.up.sum(-1),
@@ -172,11 +190,11 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
                 lw_clear.dn[:, -1, :],
                 setup.spec.band_from_reordered_g_lw, 16),
         )
-        if cfg.i_solver_lw != Solver.CLOUDLESS:
+        if cfg.i_solver_lw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_lw)
 
     if cfg.do_sw:
-        if cfg.i_solver_sw == Solver.CLOUDLESS:
+        if cfg.i_solver_sw == Solver.CLOUDLESS or cloud_props is None:
             sw = solver_cloudless_sw(od_sw, ssa_sw, g_sw, go.incoming_sw,
                                      single_level.cos_sza, sw_alb_diff,
                                      sw_alb_dir)
@@ -184,8 +202,9 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         else:
             from .solvers.dispatch import solve_sw
             sw, sw_clear, extras_sw = solve_sw(
-                setup, single_level, thermodynamics, gas, cloud,
-                od_sw, ssa_sw, g_sw, go, sw_alb_diff, sw_alb_dir)
+                setup, single_level, cloud, cloud_props,
+                od_sw, ssa_sw, g_sw, go.incoming_sw, sw_alb_diff,
+                sw_alb_dir)
         band_g = setup.spec.band_from_reordered_g_sw
         flux = flux.replace(
             sw_up=sw.up.sum(-1),

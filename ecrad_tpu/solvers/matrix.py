@@ -1,0 +1,117 @@
+"""Batched small-matrix operations for SPARTACUS.
+
+Reference parity: radiation/radiation_matrix.F90 — matrix exponential by
+scaling-and-squaring with a 7th-order Pade approximant (:1118-1216),
+analytic exponentials for exchange-only matrices
+(fast_expm_exchange_{2,3}, :1344-1509), and batched solves.
+
+JAX differences: the per-element variable squaring count becomes a fixed
+number of masked squarings (data-independent control flow for XLA); all
+ops batch over a leading axis and run as batched matmuls.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Pade-7 coefficients (radiation_matrix.F90:1128-1131)
+_THETA3 = 3.925724783138660
+_C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
+      1.0)
+_MAX_SQUARINGS = 10
+
+
+def expm(A):
+    """Matrix exponential of A (..., m, m), batched Pade-7.
+
+    Faithful to radiation_matrix.F90 expm: 1-norm scaling with
+    power-of-two exponent, Pade-7, then repeated squaring; the squaring
+    count is bounded by _MAX_SQUARINGS with masking."""
+    norm1 = jnp.abs(A).sum(axis=-2).max(axis=-1)   # max column abs-sum
+    # number of squarings: smallest e with norm/2^e <= theta3
+    ratio = norm1 / _THETA3
+    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
+    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
+    scaling = jnp.exp2(-expo.astype(A.dtype))
+    As = A * scaling[..., None, None]
+
+    A2 = As @ As
+    A4 = A2 @ A2
+    A6 = A2 @ A4
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    V = _C[7] * A6 + _C[5] * A4 + _C[3] * A2 + _C[1] * eye
+    U = As @ V
+    V = _C[6] * A6 + _C[4] * A4 + _C[2] * A2 + _C[0] * eye
+    P = jnp.linalg.solve(V - U, 2.0 * U) + eye
+
+    def square_step(k, M):
+        do = (k < expo)[..., None, None]
+        return jnp.where(do, M @ M, M)
+
+    return jax.lax.fori_loop(0, _MAX_SQUARINGS, square_step, P)
+
+
+def fast_expm_exchange_2(a, b):
+    """exp of [[-a, b], [a, -b]] (radiation_matrix.F90:1344-1380).
+    a, b: (...,). Returns (..., 2, 2)."""
+    factor = (1.0 - jnp.exp(-(a + b))) / jnp.maximum(1e-12, a + b)
+    r11 = 1.0 - factor * a
+    r21 = factor * a
+    r12 = factor * b
+    r22 = 1.0 - factor * b
+    return jnp.stack([jnp.stack([r11, r12], -1),
+                      jnp.stack([r21, r22], -1)], -2)
+
+
+def fast_expm_exchange_3(a, b, c, d):
+    """exp of the 3x3 exchange matrix [[-a,b,0],[a,-b-c,d],[0,c,-d]]
+    via analytic eigendecomposition (radiation_matrix.F90:1386-1509)."""
+    eps = 1e-12
+    y2 = 0.5 * (a + b + c + d)
+    y3 = jnp.sqrt(jnp.maximum(y2 * y2 - (a * c + a * d + b * d), 0.0))
+    lam1 = -y2 + y3
+    lam2 = -y2 - y3
+
+    def safe_div(num, den):
+        return num / jnp.where(jnp.abs(den) < eps,
+                               jnp.where(den >= 0, eps, -eps), den)
+
+    one = jnp.ones_like(a)
+    v11 = safe_div(jnp.maximum(eps, b), a + lam1)
+    v12 = safe_div(b, a + lam2)
+    v13 = b / jnp.maximum(eps, a)
+    v31 = safe_div(c, d + lam1)
+    v32 = safe_div(c, d + lam2)
+    v33 = jnp.maximum(eps, c) / jnp.maximum(eps, d)
+    d1 = jnp.exp(lam1)
+    d2 = jnp.exp(lam2)
+    d3 = one
+
+    # solve V X = diag(d) for X columns via the same LU as the reference
+    L21 = v12 / v11
+    L31 = v13 / v11
+    U22 = one - L21 * one   # V(2,*) = 1
+    U23 = v32 - L21 * v31
+    L32 = (one - L31 * one) / U22
+    U33 = v33 - L31 * v31 - L32 * U23
+
+    def col(rhs1, rhs2, rhs3):
+        y2c = rhs2 - L21 * rhs1
+        y3c = rhs3 - L31 * rhs1 - L32 * y2c
+        x3 = y3c / U33
+        x2 = (y2c - U23 * x3) / U22
+        x1 = (rhs1 - one * x2 - v31 * x3) / v11
+        return x1, x2, x3
+
+    # reference solves rows of X with RHS e_i * diag(i); transcribing:
+    x11, x12, x13 = col(d1, jnp.zeros_like(a), jnp.zeros_like(a))
+    x21, x22, x23 = col(jnp.zeros_like(a), d2, jnp.zeros_like(a))
+    x31, x32, x33 = col(jnp.zeros_like(a), jnp.zeros_like(a), d3)
+
+    V = jnp.stack([jnp.stack([v11, v12, v13], -1),
+                   jnp.stack([one, one, one], -1),
+                   jnp.stack([v31, v32, v33], -1)], -2)  # (..., 3, 3)
+    X = jnp.stack([jnp.stack([x11, x12, x13], -1),
+                   jnp.stack([x21, x22, x23], -1),
+                   jnp.stack([x31, x32, x33], -1)], -2)
+    return V @ X

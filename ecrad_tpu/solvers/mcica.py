@@ -1,0 +1,182 @@
+"""McICA (Monte Carlo Independent Column Approximation) solvers.
+
+Reference parity: radiation/radiation_mcica_sw.F90:39-346 and
+radiation_mcica_lw.F90:39-361 — clear-sky pass, stochastic cloud
+generator producing per-g optical-depth scalings, total-sky pass on the
+combined properties, and the cloud-cover-weighted blend of the overcast
+and clear profiles (noise reduction). The LW uses the per-column seed
+offset +997 (radiation_mcica_lw.F90:203) and chooses between scattering
+adding / no-scattering source propagation.
+
+Vectorization: all columns and g-points at once; the reference's
+per-layer clear/cloudy branch becomes a where-select of layer
+reflectances.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..config import RadiationConfig
+from ..optics.cloud import delta_eddington
+from ..optics.combine import combine_cloud_gas_lw, combine_cloud_gas_sw
+from . import two_stream as ts
+from .adding import adding_lw, adding_sw, lw_no_scattering_fluxes
+from .cloud_generator import cloud_generator
+from .cloudless import LwFluxes, SwFluxes
+from .pdf_sampler import PdfSampler
+
+
+def _sw_reftrans(mu0, od, ssa, g, delta_scale_all):
+    if delta_scale_all:
+        od, ssa, g = delta_eddington(od, ssa, g)
+    g1, g2, g3 = ts.sw_gammas(mu0, ssa, g)
+    return ts.sw_reftrans(mu0, od, ssa, g1, g2, g3)
+
+
+def solver_mcica_sw(config: RadiationConfig, pdf_sampler: PdfSampler,
+                    band_from_g, iseed, cos_sza, cloud,
+                    od, ssa, g, od_cloud, ssa_cloud, g_cloud,
+                    incoming_sw, albedo_diffuse, albedo_direct):
+    """Returns (total SwFluxes, clear SwFluxes, cloud_cover (ncol,))."""
+    ncol, nlev, ng = od.shape
+    mu0 = jnp.maximum(cos_sza, 1e-10)[:, None, None]
+
+    # ---- clear sky -------------------------------------------------------
+    r_c, t_c, rd_c, tdd_c, tdir_c = _sw_reftrans(
+        mu0, od, ssa, g, config.do_sw_delta_scaling_with_gases)
+    up_c, dnd_c, dndir_c = adding_sw(
+        r_c, t_c, rd_c, tdd_c, tdir_c, incoming_sw,
+        albedo_diffuse, albedo_direct, jnp.maximum(cos_sza, 1e-10))
+
+    # ---- cloud generator ---------------------------------------------------
+    od_scaling, tcc = cloud_generator(
+        ng, iseed, config.i_overlap_scheme,
+        config.cloud_fraction_threshold, cloud.fraction,
+        cloud.overlap_param, config.cloud_inhom_decorr_scaling,
+        cloud.fractional_std, pdf_sampler,
+        is_beta_overlap=config.use_beta_overlap)
+
+    # ---- total sky ---------------------------------------------------------
+    cloud_mask = (cloud.fraction
+                  >= config.cloud_fraction_threshold)[..., None]
+    od_t, ssa_t, g_t = combine_cloud_gas_sw(
+        od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
+        od_scaling=od_scaling, cloud_mask=cloud_mask)
+    r, t, rd, tdd, tdir = _sw_reftrans(
+        mu0, od_t, ssa_t, g_t, config.do_sw_delta_scaling_with_gases)
+    # clear layers reuse the clear-sky reftrans exactly
+    r = jnp.where(cloud_mask, r, r_c)
+    t = jnp.where(cloud_mask, t, t_c)
+    rd = jnp.where(cloud_mask, rd, rd_c)
+    tdd = jnp.where(cloud_mask, tdd, tdd_c)
+    tdir = jnp.where(cloud_mask, tdir, tdir_c)
+    up, dnd, dndir = adding_sw(
+        r, t, rd, tdd, tdir, incoming_sw, albedo_diffuse, albedo_direct,
+        jnp.maximum(cos_sza, 1e-10))
+
+    # ---- blend: tcc*overcast + (1-tcc)*clear ------------------------------
+    has_cloud = (tcc >= config.cloud_fraction_threshold)[:, None, None]
+    w = tcc[:, None, None]
+    up_tot = jnp.where(has_cloud, w * up + (1 - w) * up_c, up_c)
+    dnd_tot = jnp.where(has_cloud, w * dnd + (1 - w) * dnd_c, dnd_c)
+    dndir_tot = jnp.where(has_cloud, w * dndir + (1 - w) * dndir_c,
+                          dndir_c)
+
+    daylight = (cos_sza > 0.0)[:, None, None]
+    zero = jnp.zeros_like(up_tot)
+    total = SwFluxes(up=jnp.where(daylight, up_tot, 0.0),
+                     dn_diffuse=jnp.where(daylight, dnd_tot, 0.0),
+                     dn_direct=jnp.where(daylight, dndir_tot, 0.0))
+    clear = SwFluxes(up=jnp.where(daylight, up_c, 0.0),
+                     dn_diffuse=jnp.where(daylight, dnd_c, 0.0),
+                     dn_direct=jnp.where(daylight, dndir_c, 0.0))
+    # night columns: reference leaves cloud_cover_sw at its -1 init
+    tcc = jnp.where(cos_sza > 0.0, tcc, -1.0)
+    return total, clear, tcc
+
+
+def solver_mcica_lw(config: RadiationConfig, pdf_sampler: PdfSampler,
+                    band_from_g, iseed, cloud,
+                    od, ssa, g, od_cloud, ssa_cloud, g_cloud,
+                    planck_hl, emission, albedo):
+    """Returns (total LwFluxes, clear LwFluxes, cloud_cover (ncol,))."""
+    ncol, nlev, ng = od.shape
+    planck_top = planck_hl[:, :-1, :]
+    planck_bot = planck_hl[:, 1:, :]
+    do_clear_scat = (config.do_lw_aerosol_scattering)
+
+    # ---- clear sky -------------------------------------------------------
+    if do_clear_scat:
+        g1, g2 = ts.lw_gammas(ssa, g)
+        r_c, t_c, su_c, sd_c = ts.lw_reftrans(od, g1, g2, planck_top,
+                                              planck_bot)
+    else:
+        t_c, su_c, sd_c = ts.lw_no_scattering_transmittance(
+            od, planck_top, planck_bot)
+        r_c = jnp.zeros_like(t_c)
+    if do_clear_scat:
+        up_c, dn_c = adding_lw(r_c, t_c, su_c, sd_c, emission, albedo)
+    else:
+        up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c, emission,
+                                             albedo)
+
+    # ---- cloud generator (seed offset 997: radiation_mcica_lw.F90) -------
+    od_scaling, tcc = cloud_generator(
+        ng, iseed + 997, config.i_overlap_scheme,
+        config.cloud_fraction_threshold, cloud.fraction,
+        cloud.overlap_param, config.cloud_inhom_decorr_scaling,
+        cloud.fractional_std, pdf_sampler,
+        is_beta_overlap=config.use_beta_overlap)
+
+    # ---- total sky ---------------------------------------------------------
+    cloud_mask = (cloud.fraction
+                  >= config.cloud_fraction_threshold)[..., None]
+    od_t, ssa_t, g_t = combine_cloud_gas_lw(
+        od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
+        config.do_lw_cloud_scattering, od_scaling=od_scaling,
+        cloud_mask=cloud_mask)
+    if config.do_lw_cloud_scattering:
+        g1, g2 = ts.lw_gammas(ssa_t, g_t)
+        r, t, su, sd = ts.lw_reftrans(od_t, g1, g2, planck_top,
+                                      planck_bot)
+        # clear layers reuse the clear-sky properties (incl. R=0 when the
+        # clear path is no-scattering: fast_adding equivalence)
+        r = jnp.where(cloud_mask, r, r_c)
+        t = jnp.where(cloud_mask, t, t_c)
+        su = jnp.where(cloud_mask, su, su_c)
+        sd = jnp.where(cloud_mask, sd, sd_c)
+        up, dn = adding_lw(r, t, su, sd, emission, albedo)
+    else:
+        t, su, sd = ts.lw_no_scattering_transmittance(
+            od_t, planck_top, planck_bot)
+        t = jnp.where(cloud_mask, t, t_c)
+        su = jnp.where(cloud_mask, su, su_c)
+        sd = jnp.where(cloud_mask, sd, sd_c)
+        up, dn = lw_no_scattering_fluxes(t, su, sd, emission, albedo)
+
+    # ---- blend -------------------------------------------------------------
+    has_cloud = (tcc >= config.cloud_fraction_threshold)[:, None, None]
+    w = tcc[:, None, None]
+    up_tot = jnp.where(has_cloud, w * up + (1 - w) * up_c, up_c)
+    dn_tot = jnp.where(has_cloud, w * dn + (1 - w) * dn_c, dn_c)
+
+    extras = {}
+    if config.do_lw_derivatives:
+        from .lw_derivatives import lw_derivatives_ica
+        deriv_cloudy = lw_derivatives_ica(t, up[:, -1, :])
+        deriv_clear = lw_derivatives_ica(t_c, up_c[:, -1, :])
+        wcol = tcc[:, None]
+        hc2 = (tcc >= config.cloud_fraction_threshold)[:, None]
+        blendable = (tcc < 1.0 - config.cloud_fraction_threshold)[:, None]
+        deriv = jnp.where(
+            hc2,
+            jnp.where(blendable,
+                      wcol * deriv_cloudy + (1 - wcol) * deriv_clear,
+                      deriv_cloudy),
+            deriv_clear)
+        extras["lw_derivatives"] = deriv
+
+    return (LwFluxes(up=up_tot, dn=dn_tot),
+            LwFluxes(up=up_c, dn=dn_c), tcc, extras)
