@@ -57,6 +57,15 @@ def main(argv=None):
             jax.tree.map(lambda x: x[istart:iend], cloud),
             jax.tree.map(lambda x: x[istart:iend], aerosol))
 
+    # input physical-bounds checking (driver/ecrad_driver.F90:245-254)
+    from .utils.checks import clamp_inputs, validate_inputs
+    findings = validate_inputs(single_level, thermo, gas, cloud, aerosol)
+    for msg in findings:
+        print(f"Warning: input {msg}")
+    if findings and driver_config.do_correct_unphysical_inputs:
+        single_level, thermo, gas, cloud, aerosol = clamp_inputs(
+            single_level, thermo, gas, cloud, aerosol)
+
     if driver_config.iverbose >= 2:
         print("Setting up radiation scheme")
     setup = setup_radiation(config)
@@ -78,6 +87,10 @@ def main(argv=None):
         if driver_config.iverbose >= 1:
             print(f"Time elapsed in radiative transfer: "
                   f"{elapsed:.6f} seconds")
+
+    from .utils.checks import validate_fluxes
+    for msg in validate_fluxes(flux):
+        print(f"Warning: output {msg}")
 
     if driver_config.iverbose >= 2:
         print(f"Writing {args.output_nc}")

@@ -48,10 +48,23 @@ def setup_radiation(config: RadiationConfig) -> RadiationSetup:
     """Load tables & precompute spectral mappings
     (radiation_interface.F90:37-134)."""
     config = config.consolidated()
-    if config.i_gas_model != GasModel.RRTMG_IFS:
-        raise NotImplementedError("only the RRTMG-IFS gas model has a "
-                                  "spectral implementation; use the "
-                                  "monochromatic path via solver modules")
+    if config.i_gas_model == GasModel.MONOCHROMATIC:
+        # single band/g-point; trivial spectral mapping
+        one = np.zeros(1, dtype=int)
+        spec = GasOpticsSpec(
+            band_from_g_lw=one, band_from_g_sw=one,
+            g_from_reordered_g_lw=np.arange(1),
+            g_from_reordered_g_sw=np.arange(1),
+            band_from_reordered_g_lw=one, band_from_reordered_g_sw=one)
+        setup = RadiationSetup(
+            config=config, tables={}, spec=spec,
+            sw_albedo_map=one, sw_albedo_weights=None,
+            lw_emiss_map=one, lw_emiss_weights=None)
+        if config.i_solver_sw == Solver.MCICA or \
+                config.i_solver_lw == Solver.MCICA:
+            from .solvers.pdf_sampler import setup_pdf_sampler
+            setup.pdf_sampler = setup_pdf_sampler(config)
+        return setup
     tables = load_tables()
     spec = make_spec(
         reorder_lw=config.i_solver_lw == Solver.SPARTACUS,
@@ -122,16 +135,26 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
     cfg = setup.config
     sw_alb_diff, sw_alb_dir, lw_albedo = get_albedos(setup, single_level)
 
-    go = gas_optics(
-        thermodynamics.pressure_hl, thermodynamics.temperature_hl,
-        gas.mixing_ratio, single_level.skin_temperature,
-        single_level.cos_sza, single_level.solar_irradiance,
-        setup.spec, tables=setup.tables, lw_albedo=lw_albedo,
-        min_gas_od_lw=cfg.min_gas_od_lw, min_gas_od_sw=cfg.min_gas_od_sw,
-        spectral_solar_scaling=(single_level.spectral_solar_scaling
-                                if cfg.use_spectral_solar_scaling
-                                else None),
-        dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64)
+    if cfg.i_gas_model == GasModel.MONOCHROMATIC:
+        from .optics.monochromatic import gas_optics_mono
+        mono = gas_optics_mono(cfg, single_level, thermodynamics)
+        from .optics.rrtmg.gas_optics import GasOptics
+        go = GasOptics(od_lw=mono.od_lw, od_sw=mono.od_sw,
+                       ssa_sw=mono.ssa_sw, planck_hl=mono.planck_hl,
+                       lw_emission=mono.lw_emission,
+                       incoming_sw=mono.incoming_sw)
+    else:
+        go = gas_optics(
+            thermodynamics.pressure_hl, thermodynamics.temperature_hl,
+            gas.mixing_ratio, single_level.skin_temperature,
+            single_level.cos_sza, single_level.solar_irradiance,
+            setup.spec, tables=setup.tables, lw_albedo=lw_albedo,
+            min_gas_od_lw=cfg.min_gas_od_lw,
+            min_gas_od_sw=cfg.min_gas_od_sw,
+            spectral_solar_scaling=(single_level.spectral_solar_scaling
+                                    if cfg.use_spectral_solar_scaling
+                                    else None),
+            dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64)
 
     ncol, nlev, _ = go.od_lw.shape
     zeros_ssa_lw = jnp.zeros_like(go.od_lw)
@@ -159,9 +182,14 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             cloud = cloud.set_overlap_param(thermodynamics, 2000.0)
         cloud = cloud.crop_cloud_fraction(cfg.cloud_fraction_threshold,
                                           cfg.cloud_mixing_ratio_threshold)
-        cloud_props = cloud_optics(cfg, setup.cloud_optics,
-                                   thermodynamics.pressure_hl,
-                                   thermodynamics.temperature_hl, cloud)
+        if cfg.i_gas_model == GasModel.MONOCHROMATIC:
+            from .optics.monochromatic import cloud_optics_mono
+            cloud_props = cloud_optics_mono(cfg, thermodynamics, cloud)
+        else:
+            cloud_props = cloud_optics(cfg, setup.cloud_optics,
+                                       thermodynamics.pressure_hl,
+                                       thermodynamics.temperature_hl,
+                                       cloud)
 
     # ---- solvers ----------------------------------------------------------
     flux = Flux()
@@ -176,7 +204,7 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         else:
             from .solvers.dispatch import solve_lw
             lw, lw_clear, extras_lw = solve_lw(
-                setup, single_level, cloud, cloud_props,
+                setup, single_level, thermodynamics, cloud, cloud_props,
                 od_lw, ssa_lw, g_lw, go.planck_hl, go.lw_emission,
                 lw_albedo)
         flux = flux.replace(
@@ -192,6 +220,17 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         )
         if cfg.i_solver_lw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_lw)
+        if cfg.do_save_spectral_flux:
+            # band (or per-g) resolved profiles (radiation_save.F90)
+            if cfg.do_save_gpoint_flux:
+                spec_map = np.asarray(setup.spec.g_from_reordered_g_lw)
+                nspec = len(spec_map)
+            else:
+                spec_map = setup.spec.band_from_reordered_g_lw
+                nspec = 16 if len(spec_map) > 1 else 1
+            flux = flux.replace(
+                lw_up_band=_indexed_band_sum(lw.up, spec_map, nspec),
+                lw_dn_band=_indexed_band_sum(lw.dn, spec_map, nspec))
 
     if cfg.do_sw:
         if cfg.i_solver_sw == Solver.CLOUDLESS or cloud_props is None:
@@ -202,7 +241,7 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         else:
             from .solvers.dispatch import solve_sw
             sw, sw_clear, extras_sw = solve_sw(
-                setup, single_level, cloud, cloud_props,
+                setup, single_level, thermodynamics, cloud, cloud_props,
                 od_sw, ssa_sw, g_sw, go.incoming_sw, sw_alb_diff,
                 sw_alb_dir)
         band_g = setup.spec.band_from_reordered_g_sw
@@ -230,5 +269,18 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             )
         if cfg.i_solver_sw != Solver.CLOUDLESS:
             flux = flux.replace(**extras_sw)
+        if cfg.do_save_spectral_flux:
+            if cfg.do_save_gpoint_flux:
+                spec_map = np.asarray(setup.spec.g_from_reordered_g_sw)
+                nspec = len(spec_map)
+            else:
+                spec_map = setup.spec.band_from_reordered_g_sw
+                nspec = 14 if len(spec_map) > 1 else 1
+            flux = flux.replace(
+                sw_up_band=_indexed_band_sum(sw.up, spec_map, nspec),
+                sw_dn_band=_indexed_band_sum(
+                    sw.dn_diffuse + sw.dn_direct, spec_map, nspec),
+                sw_dn_direct_band=_indexed_band_sum(
+                    sw.dn_direct, spec_map, nspec))
 
     return flux

@@ -14,7 +14,7 @@ from .homogeneous import solver_homogeneous_lw, solver_homogeneous_sw
 from .mcica import solver_mcica_lw, solver_mcica_sw
 
 
-def solve_lw(setup, single_level, cloud, cloud_props,
+def solve_lw(setup, single_level, thermodynamics, cloud, cloud_props,
              od, ssa, g, planck_hl, emission, albedo):
     cfg = setup.config
     od_cloud, ssa_cloud, g_cloud = cloud_props[:3]
@@ -43,7 +43,7 @@ def solve_lw(setup, single_level, cloud, cloud_props,
     elif cfg.i_solver_lw == Solver.SPARTACUS:
         from .spartacus_lw import solver_spartacus_lw
         total, clear, tcc = solver_spartacus_lw(
-            setup, single_level, cloud, od, ssa, g,
+            setup, single_level, thermodynamics, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, planck_hl, emission, albedo)
         extras["cloud_cover_lw"] = tcc
     else:
@@ -51,7 +51,7 @@ def solve_lw(setup, single_level, cloud, cloud_props,
     return total, clear, extras
 
 
-def solve_sw(setup, single_level, cloud, cloud_props,
+def solve_sw(setup, single_level, thermodynamics, cloud, cloud_props,
              od, ssa, g, incoming_sw, albedo_diffuse, albedo_direct):
     cfg = setup.config
     od_cloud, ssa_cloud, g_cloud = cloud_props[3:]
@@ -82,7 +82,7 @@ def solve_sw(setup, single_level, cloud, cloud_props,
     elif cfg.i_solver_sw == Solver.SPARTACUS:
         from .spartacus_sw import solver_spartacus_sw
         total, clear, tcc = solver_spartacus_sw(
-            setup, single_level, cloud, od, ssa, g,
+            setup, single_level, thermodynamics, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, incoming_sw,
             albedo_diffuse, albedo_direct)
         extras["cloud_cover_sw"] = tcc

@@ -35,18 +35,22 @@ def expm(A):
     scaling = jnp.exp2(-expo.astype(A.dtype))
     As = A * scaling[..., None, None]
 
-    A2 = As @ As
-    A4 = A2 @ A2
-    A6 = A2 @ A4
+    # full f32 matmuls: TPU defaults to bf16 inputs, far too coarse for
+    # repeated squaring
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    A2 = mm(As, As)
+    A4 = mm(A2, A2)
+    A6 = mm(A2, A4)
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
     V = _C[7] * A6 + _C[5] * A4 + _C[3] * A2 + _C[1] * eye
-    U = As @ V
+    U = mm(As, V)
     V = _C[6] * A6 + _C[4] * A4 + _C[2] * A2 + _C[0] * eye
     P = jnp.linalg.solve(V - U, 2.0 * U) + eye
 
     def square_step(k, M):
         do = (k < expo)[..., None, None]
-        return jnp.where(do, M @ M, M)
+        return jnp.where(do, mm(M, M), M)
 
     return jax.lax.fori_loop(0, _MAX_SQUARINGS, square_step, P)
 

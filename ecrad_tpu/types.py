@@ -85,8 +85,8 @@ class Thermodynamics:
         """
         t = self.temperature_fl()
         p = self.pressure_fl()
-        e_sat = 611.2 * jnp.exp(17.67 * (t - 273.15) / (t - 29.65))
-        mmr = 0.621981 * e_sat / jnp.maximum(p - e_sat, 1.0)
+        e_sat = 6.11e2 * jnp.exp(17.269 * (t - 273.16) / (t - 35.86))
+        mmr = jnp.minimum(1.0, 0.622 * e_sat / jnp.maximum(p, 1.0))
         return self.replace(h2o_sat_liq=mmr)
 
 

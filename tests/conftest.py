@@ -13,6 +13,17 @@ if "xla_force_host_platform_device_count" not in flags:
 # Keep test numerics deterministic & fast
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize (TPU tunnel) imports jax at interpreter start,
+# so the env vars above may be too late; force the platform through the
+# config API as well (backends resolve lazily at first computation).
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
