@@ -1,0 +1,155 @@
+"""Host-model coupling: the IFS RADIATION_SCHEME analogue.
+
+Reference parity: ifs/radiation_scheme.F90 + the helper physics
+parameterizations it calls:
+  - liquid_effective_radius.F90 (Martin et al. 1994 from CCN; case 2)
+  - ice_effective_radius.F90 (Sun & Rikus 1999 rev. Sun 2001)
+  - cloud_overlap_decorr_len.F90 (latitude-dependent decorrelation)
+
+`radiation_scheme` packs raw host-model arrays into the framework's
+types, computes effective radii & overlap, runs radiation() and returns
+fluxes — the entry point a large-scale model embeds.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import GAS_INDEX
+from .interface import RadiationSetup, radiation
+from .types import Aerosol, Cloud, GasConcs, SingleLevel, Thermodynamics
+
+RD = 287.058
+RTT = 273.16
+RRE2DE = 0.64952  # effective radius / effective diameter (Fu convention)
+
+
+def liquid_effective_radius(pressure, temperature, cloud_frac, q_liq,
+                            q_rain, land_frac, ccn_land=900.0,
+                            ccn_sea=50.0):
+    """Martin et al. (1994) droplet effective radius in metres
+    (ifs/liquid_effective_radius.F90 case 2)."""
+    land = land_frac >= 0.5
+    spectral_dispersion = jnp.where(land, 0.69, 0.77)
+    ccn = jnp.where(land, ccn_land, ccn_sea)
+    ntot_cm3 = jnp.where(
+        land,
+        -2.10e-4 * ccn * ccn + 0.568 * ccn - 27.9,
+        -1.15e-3 * ccn * ccn + 0.963 * ccn + 5.30)
+    ratio = (0.222 / spectral_dispersion) ** 0.333
+
+    air_density_gm3 = 1000.0 * pressure / (RD * temperature)
+    frac = jnp.maximum(cloud_frac, 1e-3)
+    lwc = air_density_gm3 * q_liq / frac
+    rwc = air_density_gm3 * q_rain / frac
+    rain_ratio = rwc / jnp.maximum(lwc, 1e-12)
+    wood_factor = jnp.where(
+        lwc > 1e-12,
+        (1.0 + rain_ratio) ** 0.666
+        / (1.0 + 0.2 * ratio[..., None] * rain_ratio), 1.0)
+    re_cubed = (3.0 * (lwc + rwc)) / (
+        4.0 * np.pi * (ntot_cm3 * spectral_dispersion)[..., None])
+    re_um = jnp.where(
+        re_cubed > 1e-12,
+        jnp.clip(wood_factor * 100.0
+                 * jnp.exp(0.333 * jnp.log(jnp.maximum(re_cubed, 1e-12))),
+                 4.0, 30.0), 4.0)
+    active = (cloud_frac >= 0.001) & (q_liq + q_rain > 0.0)
+    return jnp.where(active, re_um, 4.0) * 1e-6
+
+
+def ice_effective_radius(pressure, temperature, cloud_frac, q_ice,
+                         q_snow, min_diameter_um=20.0):
+    """Sun & Rikus (1999) rev. Sun (2001) ice effective radius (m)
+    (ifs/ice_effective_radius.F90 case 1)."""
+    air_density_gm3 = 1000.0 * pressure / (RD * temperature)
+    frac = jnp.maximum(cloud_frac, 1e-3)
+    iwc = air_density_gm3 * (q_ice + q_snow) / frac
+    t_c = temperature - RTT
+    aiwc = 45.8966 * jnp.maximum(iwc, 1e-12) ** 0.2214
+    biwc = 0.7957 * jnp.maximum(iwc, 1e-12) ** 0.2535
+    diameter_um = ((1.2351 + 0.0105 * t_c)
+                   * (aiwc + biwc * (temperature - 83.15)))
+    diameter_um = jnp.clip(diameter_um, min_diameter_um, 155.0)
+    active = (cloud_frac >= 0.001) & (q_ice + q_snow > 0.0)
+    return jnp.where(active, diameter_um * RRE2DE, 80.0 * RRE2DE) * 1e-6
+
+
+def cloud_overlap_decorr_len(sin_latitude, scheme=1):
+    """Latitude-dependent overlap decorrelation length in km
+    (ifs/cloud_overlap_decorr_len.F90)."""
+    if scheme == 1:
+        abs_lat_deg = jnp.abs(jnp.arcsin(sin_latitude)) * (180.0 / np.pi)
+        return 2.899 - 0.02759 * abs_lat_deg
+    cos_lat = jnp.cos(jnp.arcsin(sin_latitude))
+    return 0.75 + 2.149 * cos_lat * cos_lat
+
+
+def radiation_scheme(setup: RadiationSetup, *, pressure_hl,
+                     temperature_hl, cos_sza, skin_temperature,
+                     sw_albedo, lw_emissivity, q, q_liq, q_ice,
+                     cloud_frac, sin_latitude, land_frac,
+                     co2_vmr=415e-6, ch4_vmr=1.8e-6, n2o_vmr=330e-9,
+                     o3_mmr=None, q_rain=None, q_snow=None,
+                     aerosol_mmr=None, solar_irradiance=1361.0,
+                     iseed=None):
+    """Pack raw host-model arrays, derive cloud microphysics inputs, run
+    the radiation scheme (ifs/radiation_scheme.F90:237-442)."""
+    ncol, nlevp1 = pressure_hl.shape
+    nlev = nlevp1 - 1
+    p_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
+    t_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
+    q_rain = q_rain if q_rain is not None else jnp.zeros_like(q_liq)
+    q_snow = q_snow if q_snow is not None else jnp.zeros_like(q_ice)
+
+    single_level = SingleLevel(
+        cos_sza=cos_sza, skin_temperature=skin_temperature,
+        sw_albedo=sw_albedo if sw_albedo.ndim == 2 else sw_albedo[:, None],
+        lw_emissivity=(lw_emissivity if lw_emissivity.ndim == 2
+                       else lw_emissivity[:, None]),
+        solar_irradiance=float(solar_irradiance),
+        iseed=(iseed if iseed is not None
+               else jnp.arange(1, ncol + 1, dtype=jnp.int32)))
+    thermo = Thermodynamics(pressure_hl=pressure_hl,
+                            temperature_hl=temperature_hl)
+    gas = GasConcs.create(ncol, nlev)
+    gas = gas.put("h2o", q)
+    gas = gas.put_well_mixed_vmr("co2", co2_vmr, ncol, nlev)
+    gas = gas.put_well_mixed_vmr("ch4", ch4_vmr, ncol, nlev)
+    gas = gas.put_well_mixed_vmr("n2o", n2o_vmr, ncol, nlev)
+    gas = gas.put_well_mixed_vmr("o2", 0.20944, ncol, nlev)
+    if o3_mmr is not None:
+        gas = gas.put("o3", o3_mmr)
+
+    re_liq = liquid_effective_radius(p_fl, t_fl, cloud_frac, q_liq,
+                                     q_rain, land_frac[:, None])
+    re_ice = ice_effective_radius(p_fl, t_fl, cloud_frac, q_ice, q_snow)
+    decorr_km = cloud_overlap_decorr_len(sin_latitude)
+    cloud = Cloud(q_liq=q_liq, q_ice=q_ice, re_liq=re_liq, re_ice=re_ice,
+                  fraction=cloud_frac,
+                  fractional_std=jnp.ones_like(cloud_frac))
+    # per-column decorrelation length: use the column-mean (the overlap
+    # parameter itself is per-interface via set_overlap_param)
+    cloud = cloud.set_overlap_param(thermo,
+                                    float(jnp.mean(decorr_km)) * 1000.0) \
+        if not isinstance(decorr_km, jnp.ndarray) else \
+        cloud.replace(overlap_param=_overlap_from_decorr(
+            thermo, decorr_km * 1000.0))
+
+    aerosol = (Aerosol(mixing_ratio=aerosol_mmr)
+               if aerosol_mmr is not None else
+               Aerosol(mixing_ratio=jnp.zeros((ncol, nlev, 1))))
+    return radiation(setup, single_level, thermo, gas, cloud, aerosol)
+
+
+def _overlap_from_decorr(thermo, decorr_len_m):
+    """Per-column decorrelation length -> overlap parameter."""
+    p = jnp.maximum(thermo.pressure_hl, 1.0)
+    t = thermo.temperature_hl
+    r_over_g = 287.0 / 9.80665
+    dz = r_over_g * 0.5 * (t[:, :-1] + t[:, 1:]) * jnp.log(
+        p[:, 1:] / p[:, :-1])
+    sep = 0.5 * (dz[:, :-1] + dz[:, 1:])
+    return jnp.exp(-jnp.abs(sep) / decorr_len_m[:, None])

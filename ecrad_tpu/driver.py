@@ -57,6 +57,28 @@ def main(argv=None):
             jax.tree.map(lambda x: x[istart:iend], cloud),
             jax.tree.map(lambda x: x[istart:iend], aerosol))
 
+    # cloud effective-size overrides (driver/ecrad_driver.F90:190-215)
+    dc = driver_config
+    if dc.cloud_separation_scale_toa > 0.0 and \
+            dc.cloud_separation_scale_surface > 0.0:
+        cloud = cloud.param_cloud_effective_separation_eta(
+            thermo, dc.cloud_separation_scale_surface,
+            dc.cloud_separation_scale_toa,
+            dc.cloud_separation_scale_power,
+            dc.cloud_inhom_separation_factor)
+    elif dc.low_inv_effective_size > 0.0 or \
+            dc.middle_inv_effective_size > 0.0 or \
+            dc.high_inv_effective_size > 0.0:
+        cloud = cloud.create_inv_cloud_effective_size_eta(
+            thermo, dc.low_inv_effective_size,
+            dc.middle_inv_effective_size, dc.high_inv_effective_size,
+            0.8, 0.45)
+    if dc.effective_size_scaling > 0.0 and \
+            cloud.inv_cloud_effective_size is not None:
+        cloud = cloud.replace(
+            inv_cloud_effective_size=cloud.inv_cloud_effective_size
+            / dc.effective_size_scaling)
+
     # input physical-bounds checking (driver/ecrad_driver.F90:245-254)
     from .utils.checks import clamp_inputs, validate_inputs
     findings = validate_inputs(single_level, thermo, gas, cloud, aerosol)

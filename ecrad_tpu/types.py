@@ -188,6 +188,41 @@ class Cloud:
         alpha = jnp.exp(-jnp.abs(sep) / decorrelation_length)
         return self.replace(overlap_param=alpha)
 
+    def create_inv_cloud_effective_size_eta(
+            self, thermodynamics: Thermodynamics,
+            inv_eff_size_low: float, inv_eff_size_mid: float,
+            inv_eff_size_high: float, eta_low_mid: float,
+            eta_mid_high: float) -> "Cloud":
+        """Inverse effective cloud size by eta band
+        (radiation_cloud.F90:398-460)."""
+        p_hl = thermodynamics.pressure_hl
+        eta = (p_hl[:, :-1] + p_hl[:, 1:]) * (0.5 / p_hl[:, -1:])
+        inv = jnp.where(eta > eta_low_mid, inv_eff_size_low,
+                        jnp.where(eta > eta_mid_high, inv_eff_size_mid,
+                                  inv_eff_size_high))
+        return self.replace(inv_cloud_effective_size=inv)
+
+    def param_cloud_effective_separation_eta(
+            self, thermodynamics: Thermodynamics, separation_surf: float,
+            separation_toa: float, power: float = 1.0,
+            inhom_separation_factor: float = 1.0) -> "Cloud":
+        """Effective cloud separation parameterization in eta
+        (radiation_cloud.F90:476-...; the CY47R1 driver's
+        cloud_separation_scale_* namelist options)."""
+        p_hl = thermodynamics.pressure_hl
+        eta = (p_hl[:, :-1] + p_hl[:, 1:]) * (0.5 / p_hl[:, -1:])
+        coeff_e = 1.0 - jnp.exp(-1.0)
+        coeff_b = (separation_toa - separation_surf) / coeff_e
+        coeff_a = separation_toa - coeff_b
+        eff_sep = coeff_a + coeff_b * jnp.exp(-eta ** power)
+        f = self.fraction
+        inv_cloud = 1.0 / (eff_sep * jnp.sqrt(
+            jnp.maximum(1.0e-5, f * (1.0 - f))))
+        inv_inhom = 1.0 / (eff_sep * inhom_separation_factor * jnp.sqrt(
+            jnp.maximum(1.0e-5, 0.5 * f * (1.0 - 0.5 * f))))
+        return self.replace(inv_cloud_effective_size=inv_cloud,
+                            inv_inhom_effective_size=inv_inhom)
+
     def crop_cloud_fraction(self, cloud_fraction_threshold: float = 1.0e-6,
                             cloud_mixing_ratio_threshold: float = 1.0e-9
                             ) -> "Cloud":

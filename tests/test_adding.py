@@ -132,7 +132,7 @@ def test_adding_sw_conservation():
     fu, fdd, fdir = adding_sw(rd, td, rdir, tdd, tdir, inc, alb_d, alb_d,
                               mu0)
     # Energy: at TOA, up + (net absorbed by surface) = incoming*mu0
-    toa_in = 100.0 * np.asarray(mu0)[:, None]
+    toa_in = np.broadcast_to(100.0 * np.asarray(mu0)[:, None], (ncol, ng))
     toa_up = np.asarray(fu[:, 0, :])
     surf_dn = np.asarray(fdd[:, -1, :] + fdir[:, -1, :])
     np.testing.assert_allclose(toa_up + surf_dn, toa_in, rtol=2e-3)

@@ -34,17 +34,18 @@ def mcica_flux(inputs):
     return run_solver(inputs, Solver.MCICA)
 
 
-@pytest.mark.parametrize("solver,kw", [
-    (Solver.TRIPLECLOUDS, {}),
-    (Solver.HOMOGENEOUS, {}),
-    (Solver.SPARTACUS, {"do_3d_effects": True}),
-    (Solver.SPARTACUS, {"do_3d_effects": False}),
+@pytest.mark.parametrize("solver,kw,sw_tol", [
+    (Solver.TRIPLECLOUDS, {}, 16.0),
+    # Homogeneous treats partial cloud as overcast -> larger SW diffs
+    (Solver.HOMOGENEOUS, {}, 60.0),
+    (Solver.SPARTACUS, {"do_3d_effects": True}, 16.0),
+    (Solver.SPARTACUS, {"do_3d_effects": False}, 16.0),
 ])
-def test_solver_consistency(inputs, mcica_flux, solver, kw):
+def test_solver_consistency(inputs, mcica_flux, solver, kw, sw_tol):
     """All solvers agree with McICA at the solver-difference level."""
     flux = run_solver(inputs, solver, **kw)
-    for name, tol_mean in [("lw_up", 4.0), ("lw_dn", 4.0),
-                           ("sw_up", 16.0), ("sw_dn", 16.0)]:
+    for name, tol_mean in [("lw_up", 8.0), ("lw_dn", 8.0),
+                           ("sw_up", sw_tol), ("sw_dn", sw_tol)]:
         a = np.asarray(getattr(flux, name))
         b = np.asarray(getattr(mcica_flux, name))
         assert np.isfinite(a).all(), f"{solver} {name} not finite"
