@@ -272,7 +272,7 @@ class RadiationConfig:
                                    ice_names[self.i_ice_model]))
         object.__setattr__(self, "_aerosol_optics_file",
                            resolve(self.aerosol_optics_override_file_name,
-                                   "aerosol_ifs_rrtm.nc"))
+                                   "aerosol_ifs_rrtm_45R2.nc"))
         object.__setattr__(self, "_cloud_pdf_file",
                            resolve(self.cloud_pdf_override_file_name,
                                    pdf_names[self.i_cloud_pdf_shape]))
@@ -479,6 +479,17 @@ def load_config_from_namelist(path_or_text: str,
                     value = tuple(0 if v is None else v for v in value)
                 kwargs[key] = value
     kwargs.update(overrides)
+    # A relative directory_name in a namelist is relative to the namelist
+    # file's directory (the reference is run from the test directory, so
+    # "../../data" resolves against it).
+    if ("directory_name" in kwargs and os.path.isfile(path_or_text)
+            and not os.path.isabs(kwargs["directory_name"])
+            and not os.path.isdir(kwargs["directory_name"])):
+        candidate = os.path.normpath(os.path.join(
+            os.path.dirname(os.path.abspath(path_or_text)),
+            kwargs["directory_name"]))
+        if os.path.isdir(candidate):
+            kwargs["directory_name"] = candidate
     return RadiationConfig(**kwargs).consolidated()
 
 

@@ -25,6 +25,39 @@ from .io.output import save_fluxes
 from .parallel.sharding import shard_columns
 
 
+def _lowest_level_extinction(setup, single_level, thermo, gas):
+    """Extinction (m-1) of the lowest model level at canopy spectral
+    resolution, for gas absorption inside canopies.
+
+    Reference: radsurf_intermediate.F90:955-1038 (calc_boundary_conditions)
+    — note the reference computes gas optics for its first (TOA) level and
+    only ever passes the longwave extinction on (:1027-1036); here the
+    *bottom* layer is used, which is the physically intended one for a
+    surface canopy. Returns (ext_lw, ext_sw, ssa_sw, g_sw); the SW values
+    are returned for completeness though the reference never consumes them.
+    """
+    from .constants import ACCEL_DUE_TO_GRAVITY
+    from .interface import get_albedos
+    from .optics.rrtmg.gas_optics import gas_optics as run_gas_optics
+    cfg = setup.config
+    _, _, lw_albedo = get_albedos(setup, single_level)
+    go = run_gas_optics(
+        thermo.pressure_hl, thermo.temperature_hl, gas.mixing_ratio,
+        single_level.skin_temperature, single_level.cos_sza,
+        single_level.solar_irradiance, setup.spec, tables=setup.tables,
+        lw_albedo=lw_albedo, min_gas_od_lw=cfg.min_gas_od_lw,
+        min_gas_od_sw=cfg.min_gas_od_sw)
+    r_over_g = 287.058 / ACCEL_DUE_TO_GRAVITY
+    p = thermo.pressure_hl
+    t = thermo.temperature_hl
+    layer_depth = (r_over_g * (p[:, -1] - p[:, -2])
+                   * (t[:, -1] + t[:, -2]) / (p[:, -1] + p[:, -2]))
+    inv_depth = (1.0 / jnp.maximum(layer_depth, 1.0e-3))[:, None]
+    ext_lw = go.od_lw[:, -1, :] * inv_depth
+    ext_sw = go.od_sw[:, -1, :] * inv_depth
+    return ext_lw, ext_sw, go.ssa_sw[:, -1, :], jnp.zeros_like(ext_sw)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="ecrad_tpu",
@@ -32,6 +65,9 @@ def main(argv=None):
     ap.add_argument("namelist")
     ap.add_argument("input_nc")
     ap.add_argument("output_nc")
+    ap.add_argument("surface_output_nc", nargs="?", default=None,
+                    help="surface-flux output for tiled surfaces "
+                         "(driver/ecrad_driver.F90:116-117, 4th arg)")
     ap.add_argument("--no-jit", action="store_true")
     args = ap.parse_args(argv)
 
@@ -43,6 +79,18 @@ def main(argv=None):
     single_level, thermo, gas, cloud, aerosol = read_input(
         args.input_nc, driver_config)
     ncol = single_level.ncol
+
+    # Complex (tiled) surface? (driver/ecrad_driver.F90:184-196)
+    from .surface import read_surface, print_surface_representation
+    from .surface.properties import input_has_tiled_surface
+    surface = None
+    if input_has_tiled_surface(args.input_nc):
+        surface = read_surface(args.input_nc)
+        import dataclasses
+        config = dataclasses.replace(config, do_canopy_fluxes_sw=True,
+                                     do_canopy_fluxes_lw=True)
+        if driver_config.iverbose >= 2:
+            print(print_surface_representation(surface.representation))
 
     istart = max(driver_config.istartcol - 1, 0)
     iend = driver_config.iendcol if driver_config.iendcol > 0 else ncol
@@ -97,6 +145,27 @@ def main(argv=None):
         single_level, thermo, gas, cloud, aerosol = shard_columns(
             (single_level, thermo, gas, cloud, aerosol))
 
+    if surface is not None:
+        # Fold the tiled surface into effective boundary conditions
+        # (ecrad_driver.F90:290-292 -> radsurf_intermediate.F90:955-1038)
+        from .surface import calc_boundary_conditions, partition_fluxes
+        ext_lw = ext_sw = ssa_sw = g_sw = None
+        # Gas absorption in canopies needs the canopy scheme to run at
+        # full spectral resolution; the reference only ever uses the LW
+        # path (radsurf_intermediate.F90:1027-1036).
+        if config.do_canopy_gases_lw and config.use_canopy_full_spectrum_lw:
+            ext_lw, _, _, _ = _lowest_level_extinction(
+                setup, single_level, thermo, gas)
+        bc = calc_boundary_conditions(
+            setup, surface, single_level.cos_sza,
+            ext_sw_air=ext_sw, ssa_sw_air=ssa_sw, g_sw_air=g_sw,
+            ext_lw_air=ext_lw)
+        single_level = single_level.replace(
+            sw_albedo=bc.sw_albedo_diffuse,
+            sw_albedo_direct=bc.sw_albedo_direct,
+            lw_emissivity=bc.lw_emissivity,
+            lw_emission=bc.lw_emission)
+
     fn = (lambda *a: radiation(setup, *a)) if args.no_jit else jax.jit(
         lambda *a: radiation(setup, *a))
 
@@ -109,6 +178,17 @@ def main(argv=None):
         if driver_config.iverbose >= 1:
             print(f"Time elapsed in radiative transfer: "
                   f"{elapsed:.6f} seconds")
+
+    surface_flux = None
+    if surface is not None:
+        surface_flux = partition_fluxes(surface, bc.intermediate, flux)
+        if args.surface_output_nc:
+            from .io.output import save_surface_fluxes
+            save_surface_fluxes(args.surface_output_nc,
+                                jax.device_get(surface_flux))
+        elif driver_config.iverbose >= 1:
+            print("Warning: file name for surface-flux outputs "
+                  "not provided")
 
     from .utils.checks import validate_fluxes
     for msg in validate_fluxes(flux):

@@ -101,20 +101,35 @@ def get_albedos(setup: RadiationSetup, single_level: SingleLevel):
     """Per-g surface albedos (radiation_single_level.F90:204-330).
 
     Returns (sw_albedo_diffuse, sw_albedo_direct, lw_albedo), each
-    (ncol, ng)."""
+    (ncol, ng). When use_canopy_full_spectrum_* the single-level values
+    were written by the surface/canopy scheme directly in (reordered)
+    g space and pass through unchanged (:240-248)."""
+    cfg = setup.config
     band_g_sw = setup.spec.band_from_reordered_g_sw
     band_g_lw = setup.spec.band_from_reordered_g_lw
-    sw_diffuse = expand_to_g(single_level.sw_albedo, setup.sw_albedo_map,
-                             setup.sw_albedo_weights, band_g_sw)
-    if single_level.sw_albedo_direct is not None:
-        sw_direct = expand_to_g(single_level.sw_albedo_direct,
-                                setup.sw_albedo_map,
-                                setup.sw_albedo_weights, band_g_sw)
+    if cfg.use_canopy_full_spectrum_sw and \
+            single_level.sw_albedo.shape[-1] == len(band_g_sw):
+        sw_diffuse = single_level.sw_albedo
+        sw_direct = (single_level.sw_albedo_direct
+                     if single_level.sw_albedo_direct is not None
+                     else sw_diffuse)
     else:
-        sw_direct = sw_diffuse
-    lw_albedo = 1.0 - expand_to_g(single_level.lw_emissivity,
-                                  setup.lw_emiss_map,
-                                  setup.lw_emiss_weights, band_g_lw)
+        sw_diffuse = expand_to_g(single_level.sw_albedo,
+                                 setup.sw_albedo_map,
+                                 setup.sw_albedo_weights, band_g_sw)
+        if single_level.sw_albedo_direct is not None:
+            sw_direct = expand_to_g(single_level.sw_albedo_direct,
+                                    setup.sw_albedo_map,
+                                    setup.sw_albedo_weights, band_g_sw)
+        else:
+            sw_direct = sw_diffuse
+    if cfg.use_canopy_full_spectrum_lw and \
+            single_level.lw_emissivity.shape[-1] == len(band_g_lw):
+        lw_albedo = 1.0 - single_level.lw_emissivity
+    else:
+        lw_albedo = 1.0 - expand_to_g(single_level.lw_emissivity,
+                                      setup.lw_emiss_map,
+                                      setup.lw_emiss_weights, band_g_lw)
     return sw_diffuse, sw_direct, lw_albedo
 
 
@@ -125,6 +140,20 @@ def _indexed_band_sum(flux_g, band_from_g, nbands):
     onehot = jnp.asarray(
         np.eye(nbands, dtype=np.float32)[:, band_from_g])  # (nb, ng)
     return jnp.einsum("...g,bg->...b", flux_g, onehot)
+
+
+def _canopy_sum(flux_g, band_from_g, imap, weights):
+    """Per-g surface flux -> canopy spectral intervals
+    (radiation_flux.F90:377-450): nearest-interval indexed sum, or
+    band-sum followed by interval overlap weights."""
+    if imap is not None:
+        interval_from_g = imap[band_from_g]
+        nint = int(np.max(imap)) + 1
+        return _indexed_band_sum(flux_g, interval_from_g, nint)
+    band_sums = _indexed_band_sum(flux_g, band_from_g,
+                                  int(np.max(band_from_g)) + 1)
+    w = jnp.asarray(weights, flux_g.dtype)   # (nint, nband)
+    return band_sums @ w.T
 
 
 def radiation(setup: RadiationSetup, single_level: SingleLevel,
@@ -155,6 +184,18 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
                                     if cfg.use_spectral_solar_scaling
                                     else None),
             dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64)
+
+    # Tiled/canopy surfaces supply the surface LW emission directly
+    # (radiation_ifs_rrtm.F90:436-443); it overrides Planck x (1-albedo).
+    if single_level.lw_emission is not None:
+        emission = single_level.lw_emission
+        if emission.shape[-1] != go.od_lw.shape[-1]:
+            if setup.lw_emiss_map is not None:
+                band_g = setup.spec.band_from_reordered_g_lw
+                emission = emission[:, setup.lw_emiss_map[band_g]]
+            else:
+                emission = emission[:, setup.spec.band_from_reordered_g_lw]
+        go = go._replace(lw_emission=emission)
 
     ncol, nlev, _ = go.od_lw.shape
     zeros_ssa_lw = jnp.zeros_like(go.od_lw)
@@ -220,6 +261,16 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         )
         if cfg.i_solver_lw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_lw)
+        if cfg.do_canopy_fluxes_lw:
+            lw_dn_surf_g = lw.dn[:, -1, :]
+            if cfg.use_canopy_full_spectrum_lw:
+                canopy = lw_dn_surf_g
+            else:
+                canopy = _canopy_sum(lw_dn_surf_g,
+                                     setup.spec.band_from_reordered_g_lw,
+                                     setup.lw_emiss_map,
+                                     setup.lw_emiss_weights)
+            flux = flux.replace(lw_dn_surf_canopy=canopy)
         if cfg.do_save_spectral_flux:
             # band (or per-g) resolved profiles (radiation_save.F90)
             if cfg.do_save_gpoint_flux:
@@ -269,6 +320,19 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             )
         if cfg.i_solver_sw != Solver.CLOUDLESS:
             flux = flux.replace(**extras_sw)
+        if cfg.do_canopy_fluxes_sw:
+            if cfg.use_canopy_full_spectrum_sw:
+                dif_canopy = sw.dn_diffuse[:, -1, :]
+                dir_canopy = sw.dn_direct[:, -1, :]
+            else:
+                dif_canopy = _canopy_sum(
+                    sw.dn_diffuse[:, -1, :], band_g,
+                    setup.sw_albedo_map, setup.sw_albedo_weights)
+                dir_canopy = _canopy_sum(
+                    sw.dn_direct[:, -1, :], band_g,
+                    setup.sw_albedo_map, setup.sw_albedo_weights)
+            flux = flux.replace(sw_dn_diffuse_surf_canopy=dif_canopy,
+                                sw_dn_direct_surf_canopy=dir_canopy)
         if cfg.do_save_spectral_flux:
             if cfg.do_save_gpoint_flux:
                 spec_map = np.asarray(setup.spec.g_from_reordered_g_sw)

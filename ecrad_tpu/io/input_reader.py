@@ -32,15 +32,26 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None
     # ---- single level -----------------------------------------------------
     cos_sza, _ = f.read_any(["cos_solar_zenith_angle", "cos_sza"])
     skin_t = f.read("skin_temperature")
+    if skin_t.ndim == 2:
+        # Tiled-surface input: (ncol, nfacet); the effective boundary
+        # condition comes from the surface scheme later — use the first
+        # (ground) facet here.
+        skin_t = skin_t[:, 0]
     sw_albedo = f.read("sw_albedo")
     if sw_albedo.ndim == 1:
         sw_albedo = sw_albedo[:, None]
+    elif sw_albedo.ndim == 3:           # tiled: (ncol, nfacet, nband)
+        sw_albedo = sw_albedo[:, 0, :]
     sw_albedo_direct, _ = f.read_any(["sw_albedo_direct"])
     if sw_albedo_direct is not None and sw_albedo_direct.ndim == 1:
         sw_albedo_direct = sw_albedo_direct[:, None]
+    elif sw_albedo_direct is not None and sw_albedo_direct.ndim == 3:
+        sw_albedo_direct = sw_albedo_direct[:, 0, :]
     lw_emissivity = f.read("lw_emissivity")
     if lw_emissivity.ndim == 1:
         lw_emissivity = lw_emissivity[:, None]
+    elif lw_emissivity.ndim == 3:
+        lw_emissivity = lw_emissivity[:, 0, :]
     solar_irradiance = float(np.asarray(f.read("solar_irradiance",
                                                np.float64(1366.0))))
     if dc.solar_irradiance_override > 0.0:

@@ -86,3 +86,44 @@ def save_fluxes(path: str, flux: Flux,
     write_netcdf(path, dims, variables, attrs,
                  global_attrs={"title":
                                "Radiative fluxes from ecRad-TPU"})
+
+
+def save_surface_fluxes(path: str, surface_flux) -> None:
+    """Write per-facet surface fluxes.
+
+    Reference parity: radsurf/radsurf_save.F90:24-140 — same variable
+    names (flux_dn_lw_facet, absorption_sw_canopy, ...) and layout
+    (column, facet)/(column, tile)."""
+    dims = {}
+    variables = {}
+    attrs = {}
+
+    def add(name, dims_needed, data, units, long_name):
+        if data is None:
+            return
+        data = np.asarray(data)
+        for dname, dlen in zip(dims_needed, data.shape):
+            dims.setdefault(dname, dlen)
+        variables[name] = (dims_needed, data.astype(np.float32))
+        attrs[name] = {"units": units, "long_name": long_name}
+
+    cf = ("column", "facet")
+    ct = ("column", "tile")
+    add("flux_dn_lw_facet", cf, surface_flux.lw_dn_facet, "W m-2",
+        "Longwave flux into facet of surface")
+    add("flux_up_lw_facet", cf, surface_flux.lw_up_facet, "W m-2",
+        "Longwave flux out of facet of surface")
+    add("absorption_lw_canopy", ct, surface_flux.lw_abs_canopy, "W m-2",
+        "Longwave absorption by tile canopy")
+    add("flux_dn_sw_facet", cf, surface_flux.sw_dn_facet, "W m-2",
+        "Shortwave flux into facet of surface")
+    add("flux_dn_direct_sw_facet", cf, surface_flux.sw_dn_direct_facet,
+        "W m-2", "Shortwave direct flux into facet of surface")
+    add("flux_up_sw_facet", cf, surface_flux.sw_up_facet, "W m-2",
+        "Shortwave flux out of facet of surface")
+    add("absorption_sw_canopy", ct, surface_flux.sw_abs_canopy, "W m-2",
+        "Shortwave absorption by tile canopy")
+
+    write_netcdf(path, dims, variables, attrs,
+                 global_attrs={"title":
+                               "Surface fluxes from ecRad-TPU"})

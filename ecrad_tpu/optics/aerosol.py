@@ -112,6 +112,16 @@ def add_aerosol_optics(setup, thermodynamics, gas, aerosol,
     dp = thermo.pressure_hl[:, 1:] - thermo.pressure_hl[:, :-1]
     factor = dp / ACCEL_DUE_TO_GRAVITY                 # (ncol, nlev)
     mmr = aerosol.mixing_ratio                         # (ncol, nlev, ntype)
+    # Reconcile the number of aerosol types supplied with the configured
+    # type map (the reference zero-fills absent types; inputs without an
+    # aerosol_mmr variable arrive as a single zero type).
+    ntab = ao.mass_ext_sw.shape[0]
+    if mmr.shape[-1] < ntab:
+        mmr = jnp.concatenate(
+            [mmr, jnp.zeros(mmr.shape[:-1] + (ntab - mmr.shape[-1],),
+                            mmr.dtype)], axis=-1)
+    elif mmr.shape[-1] > ntab:
+        mmr = mmr[..., :ntab]
     mass = factor[..., None] * mmr                     # (ncol, nlev, ntype)
 
     nrh = ao.mass_ext_sw.shape[1]

@@ -128,6 +128,61 @@ def sw_reftrans(mu0, od, ssa, gamma1, gamma2, gamma3):
     return ref_diff, trans_diff, ref_dir, trans_dir_diff, trans_dir_dir
 
 
+def lw_reftrans_isothermal(od, gamma1, gamma2, planck):
+    """Isothermal-layer LW Meador-Weaver reflectance/transmittance.
+
+    Reference: calc_reflectance_transmittance_isothermal_lw
+    (radiation_two_stream.F90:263-327). Used by the surface/canopy scheme
+    where the canopy temperature is constant with height. Returns
+    (reflectance, transmittance, source) with source the emission from
+    within the layer (same up and down)."""
+    k = _k_exponent(gamma1, gamma2)
+    expo = jnp.exp(-k * od)
+    expo2 = expo * expo
+    rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
+    ref = gamma2 * (1.0 - expo2) * rt
+    trans = 2.0 * k * expo * rt
+    source = planck * (1.0 - ref - trans)
+    return ref, trans, source
+
+
+def sw_reftrans_z(mu0, depth, gamma0, gamma1, gamma2, gamma3, gamma4):
+    """SW Meador-Weaver in physical (z) coordinates.
+
+    Reference: calc_reflectance_transmittance_z_sw
+    (radiation_two_stream.F90:648-774). The gammas here are *per-metre
+    rates* (they may include wall-exchange terms for urban canopies, so
+    the scattering coefficients gamma3/gamma4 are supplied pre-scaled
+    rather than derived from ssa); gamma0 is the attenuation rate of the
+    unscattered direct beam such that dFdir/dz = -gamma0 Fdir.
+    """
+    od_over_mu0 = jnp.maximum(gamma0 * depth, 0.0)
+    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    k = _k_exponent(gamma1, gamma2)
+    k_mu0 = k * mu0
+    k_mu0 = jnp.where(jnp.abs(k_mu0 - 1.0) < 1e-6, 1.0 - 1e-6, k_mu0)
+    k_gamma3 = k * gamma3
+    k_gamma4 = k * gamma4
+    e0 = jnp.exp(-od_over_mu0)
+    trans_dir_dir = e0
+    expo = jnp.exp(-k * depth)
+    expo2 = expo * expo
+    k2e = 2.0 * k * expo
+    rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
+    ref_diff = gamma2 * (1.0 - expo2) * rt
+    trans_diff = k2e * rt
+    rt_dir = mu0 * rt / (1.0 - k_mu0 * k_mu0)
+    ref_dir = rt_dir * ((1.0 - k_mu0) * (alpha2 + k_gamma3)
+                        - (1.0 + k_mu0) * (alpha2 - k_gamma3) * expo2
+                        - k2e * (gamma3 - alpha2 * mu0) * e0)
+    trans_dir_diff = rt_dir * (
+        k2e * (gamma4 + alpha1 * mu0)
+        - e0 * ((1.0 + k_mu0) * (alpha1 + k_gamma4)
+                - (1.0 - k_mu0) * (alpha1 - k_gamma4) * expo2))
+    return ref_diff, trans_diff, ref_dir, trans_dir_diff, trans_dir_dir
+
+
 def sw_frac_scattered_diffuse(od, gamma1, gamma2):
     """Fraction of beam extinction that scatters into the diffuse streams
     (radiation_two_stream.F90:781-839, used by SPARTACUS)."""

@@ -40,6 +40,12 @@ class SingleLevel:
     sw_albedo: jnp.ndarray                    # (ncol, n_albedo_bands)
     lw_emissivity: jnp.ndarray                # (ncol, n_emiss_bands)
     sw_albedo_direct: Optional[jnp.ndarray] = None   # (ncol, n_albedo_bands)
+    # Pre-computed surface LW emission (W m-2) from a tiled/canopy surface
+    # (radiation_single_level.F90:55; set by the radsurf-equivalent
+    # boundary-condition pass). When present it overrides the
+    # Planck(Tskin)x(1-albedo) emission inside gas optics
+    # (radiation_ifs_rrtm.F90:436-443).
+    lw_emission: Optional[jnp.ndarray] = None        # (ncol, n_emiss_bands)
     solar_irradiance: float = 1366.0
     spectral_solar_scaling: Optional[jnp.ndarray] = None  # (nbands_sw,)
     iseed: Optional[jnp.ndarray] = None       # (ncol,) int32 per-column seed
@@ -286,6 +292,12 @@ class Flux:
     lw_dn_surf_g: Optional[jnp.ndarray] = None
     sw_dn_diffuse_surf_g: Optional[jnp.ndarray] = None
     sw_dn_direct_surf_g: Optional[jnp.ndarray] = None
+    # Downwelling at canopy top at the spectral resolution of the canopy
+    # scheme (per-g when use_canopy_full_spectrum_*, else albedo/emissivity
+    # intervals; radiation_flux.F90:377-450): (ncol, n_canopy_bands)
+    lw_dn_surf_canopy: Optional[jnp.ndarray] = None
+    sw_dn_diffuse_surf_canopy: Optional[jnp.ndarray] = None
+    sw_dn_direct_surf_canopy: Optional[jnp.ndarray] = None
     # Diagnostics
     cloud_cover_lw: Optional[jnp.ndarray] = None  # (ncol,)
     cloud_cover_sw: Optional[jnp.ndarray] = None  # (ncol,)
