@@ -27,7 +27,7 @@ from .cloud_cover import (
     cum_cloud_cover_exp_ran,
     cum_cloud_cover_max_ran,
 )
-from .pdf_sampler import PdfSampler, sample_pdf
+from .pdf_sampler import PdfSampler, sample_pdf, sample_pdf_fast
 
 
 def cloud_generator(ng: int, iseed, overlap_scheme: Overlap,
@@ -148,9 +148,12 @@ def cloud_generator(ng: int, iseed, overlap_scheme: Overlap,
     rand_inhom = jnp.moveaxis(r_levs, 0, 1)                    # (ncol,nlev,ng)
 
     # --- PDF sample on cloudy cells --------------------------------------
-    fsd = fractional_std[:, :, None] * jnp.ones((1, 1, ng), dtype)
-    od_scaling = jnp.where(
-        is_cloudy & has_cloud[:, None, None],
-        sample_pdf(pdf_sampler, fsd, rand_inhom), 0.0)
+    if pdf_sampler.cheb is not None:
+        scaling = sample_pdf_fast(pdf_sampler, fractional_std, rand_inhom)
+    else:
+        fsd = fractional_std[:, :, None] * jnp.ones((1, 1, ng), dtype)
+        scaling = sample_pdf(pdf_sampler, fsd, rand_inhom)
+    od_scaling = jnp.where(is_cloudy & has_cloud[:, None, None],
+                           scaling, 0.0)
 
     return od_scaling, total_cloud_cover

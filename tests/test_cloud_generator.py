@@ -87,3 +87,23 @@ def test_generator_vertical_correlation(pdf):
         return np.corrcoef(a, b)[0, 1]
 
     assert pair_corr(hi) > pair_corr(lo) + 0.1
+
+
+def test_pdf_fast_path_matches_lut(pdf):
+    """The Chebyshev fast path must track the reference's bilinear LUT
+    sampling closely over the physically occupied range."""
+    import itertools
+    from ecrad_tpu.solvers.pdf_sampler import sample_pdf, sample_pdf_fast
+    rng = np.random.RandomState(7)
+    ncol, nlev, ng = 8, 9, 16
+    fsd = jnp.asarray(rng.uniform(0.05, 2.0, (ncol, nlev)), jnp.float32)
+    cdf = jnp.asarray(rng.uniform(0.001, 0.999, (ncol, nlev, ng)),
+                      jnp.float32)
+    lut = np.asarray(sample_pdf(pdf, fsd[..., None] * jnp.ones((1, 1, ng)),
+                                cdf))
+    fast = np.asarray(sample_pdf_fast(pdf, fsd, cdf))
+    # error metric: relative where the scaling is significant
+    err = np.abs(fast - lut) / np.maximum(lut, 0.05)
+    assert err.max() < 0.02, err.max()
+    # means must agree tightly (unbiased optical depth)
+    assert abs(fast.mean() - lut.mean()) / lut.mean() < 2e-3
