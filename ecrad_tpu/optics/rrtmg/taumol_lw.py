@@ -7,63 +7,28 @@ gases with chi-ratio adjustments, CFC/CCl4 cross-sections, and Planck
 fractions. Output is (ncol, nlev, 140) optical depth + Planck fraction,
 levels surface-first (flipped to ecRad order by the bridge).
 
-Instead of the reference's per-layer tropo/strato control flow, both
-branches are expressed with one combined [ABSA; ABSB] table and a per-cell
-tropopause mask — branch-free and XLA-friendly.
+Implementation: every k-table lookup is expressed as a `Section` (row
+indices + weights into a table) and each band's optical depth is one
+`eval_sections` call — a single Pallas one-hot-matmul kernel launch on
+TPU (see ops/gather_interp.py), with tropopause branching, column
+amounts and empirical correction factors folded into the per-cell
+weights. Intermediates live in (g, cell) orientation so the small
+per-band g dimension never pads to 128 lanes.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops import Section, eval_sections
 from .setcoef import Coeffs
 
 ONEMINUS = 1.0 - 1.0e-6
 
 
-def _take(tab, idx):
-    """tab (n, ng); idx (...,) int32 -> (..., ng)."""
-    return jnp.take(tab, jnp.clip(idx, 0, tab.shape[0] - 1), axis=0)
-
-
-def _lin(tab, ind0, frac):
-    """Linear interpolation along a table's first axis.
-
-    ind0 is the 0-based lower index; returns tab[ind0] +
-    frac*(tab[ind0+1]-tab[ind0]) with shape (..., ng)."""
-    t0 = _take(tab, ind0)
-    t1 = _take(tab, ind0 + 1)
-    return t0 + frac[..., None] * (t1 - t0)
-
-
-def _self_for(c: Coeffs, selfref, forref):
-    """Water-vapour self + foreign continuum terms (tropo self only)."""
-    tauself = c.selffac[..., None] * _lin(selfref, c.indself - 1, c.selffrac)
-    tauself = jnp.where(c.tropo[..., None], tauself, 0.0)
-    taufor = c.forfac[..., None] * _lin(forref, c.indfor - 1, c.forfrac)
-    return tauself, taufor
-
-
-def _major_noeta(c: Coeffs, absa, absb, colgas_a, colgas_b):
-    """Major-species term for bands without a binary species.
-
-    colgas_a/b: (ncol, nlev) column amounts used below/above tropopause.
-    """
-    tab = jnp.concatenate([absa, absb], axis=0)
-    na = absa.shape[0]
-    r0a = (c.jp - 1) * 5 + (c.jt - 1)
-    r1a = c.jp * 5 + (c.jt1 - 1)
-    r0b = na + (c.jp - 13) * 5 + (c.jt - 1)
-    r1b = na + (c.jp - 12) * 5 + (c.jt1 - 1)
-    r0 = jnp.where(c.tropo, r0a, r0b)
-    r1 = jnp.where(c.tropo, r1a, r1b)
-    colgas = jnp.where(c.tropo, colgas_a, colgas_b)
-    tau = colgas[..., None] * (
-        c.fac00[..., None] * _take(tab, r0)
-        + c.fac10[..., None] * _take(tab, r0 + 1)
-        + c.fac01[..., None] * _take(tab, r1)
-        + c.fac11[..., None] * _take(tab, r1 + 1))
-    return tau
+def _flat(c: Coeffs) -> Coeffs:
+    """Flatten all (ncol, nlev) fields to (N,)."""
+    return Coeffs(*[x.reshape(-1) for x in c])
 
 
 def _eta_index(specparm, mult):
@@ -75,127 +40,187 @@ def _eta_index(specparm, mult):
     return specparm, js, fs
 
 
-def _eta_weights_tropo(specparm, fs, facp0, facp1):
-    """The 3-point eta scheme weights (rrtm_taumol3.F90:141-198).
+def _self_for_sections(c, selfref, forref):
+    """Water-vapour self + foreign continuum (tropo self only)."""
+    trop = c.tropo.astype(c.selffac.dtype)
+    sf = trop * c.selffac
+    return [
+        Section(selfref, [c.indself - 1, c.indself],
+                [sf * (1.0 - c.selffrac), sf * c.selffrac]),
+        Section(forref, [c.indfor - 1, c.indfor],
+                [c.forfac * (1.0 - c.forfrac), c.forfac * c.forfrac]),
+    ]
 
-    Returns (offsets[8], weights (..., 8)) covering both jt rows; offsets
-    are relative to the 0-based row ((jp-1)*5+(jt-1))*9 + js.
-    """
+
+def _major_noeta_section(c, absa, absb, colgas_a, colgas_b):
+    """Major-species lookup for bands without a binary species.
+
+    colgas_a/b: column amounts used below/above the tropopause."""
+    tab = np.concatenate([absa, absb], axis=0)
+    na = absa.shape[0]
+    trop = c.tropo
+    r0a = (c.jp - 1) * 5 + (c.jt - 1)
+    r1a = c.jp * 5 + (c.jt1 - 1)
+    r0b = na + (c.jp - 13) * 5 + (c.jt - 1)
+    r1b = na + (c.jp - 12) * 5 + (c.jt1 - 1)
+    r0 = jnp.where(trop, r0a, r0b)
+    r1 = jnp.where(trop, r1a, r1b)
+    w = jnp.where(trop, colgas_a, colgas_b)
+    return Section(tab, [r0, r0 + 1, r1, r1 + 1],
+                   [w * c.fac00, w * c.fac10, w * c.fac01, w * c.fac11])
+
+
+def _eta_weights_tropo(specparm, fs):
+    """3-point eta weights at offsets (-1, 0, 1, 2)
+    (rrtm_taumol3.F90:141-198)."""
     p_lo = fs - 1.0
     p4_lo = p_lo ** 4
     fk0_lo, fk1_lo, fk2_lo = p4_lo, 1.0 - p_lo - 2.0 * p4_lo, p_lo + p4_lo
     p_hi = -fs
     p4_hi = p_hi ** 4
     fk0_hi, fk1_hi, fk2_hi = p4_hi, 1.0 - p_hi - 2.0 * p4_hi, p_hi + p4_hi
-
     lo = specparm < 0.125
     hi = specparm > 0.875
     zero = jnp.zeros_like(fs)
-
-    # weights at offsets (-1, 0, 1, 2) for the fac*0 row
     wm1 = jnp.where(hi, fk2_hi, zero)
     w0 = jnp.where(lo, fk0_lo, jnp.where(hi, fk1_hi, 1.0 - fs))
     w1 = jnp.where(lo, fk1_lo, jnp.where(hi, fk0_hi, fs))
     w2 = jnp.where(lo, fk2_lo, zero)
-
-    offsets = np.array([-1, 0, 1, 2, 8, 9, 10, 11], dtype=np.int32)
-    weights = jnp.stack([
-        wm1 * facp0, w0 * facp0, w1 * facp0, w2 * facp0,
-        wm1 * facp1, w0 * facp1, w1 * facp1, w2 * facp1,
-    ], axis=-1)
-    return offsets, weights
+    return (wm1, w0, w1, w2)
 
 
-def _major_eta(c: Coeffs, absa, absb, col1, col2_a_rat, col2_a_rat1,
-               col2_b_rat, col2_b_rat1, col2, neta_b=5):
-    """Major term for binary-species bands.
+def _major_eta_rows_weights(c, na, col1, col2, rat_a, rat_a1,
+                            rat_b, rat_b1, col1_b=None, col2_b=None,
+                            has_b=True):
+    """Rows/weights of a binary-species major term on [absa; absb].
 
-    speccomb = col1 + rat*col2 (rat differs for the two temperature rows
-    and between tropo/strat). absb may be None (A-only bands) or have
-    neta_b=1 (no eta above the tropopause).
+    Troposphere: 9-eta 3-point scheme; stratosphere (when has_b): 5-eta
+    linear. col1_b/col2_b override the strat species pair (band 4/5 use
+    o3+co2 above the tropopause). Returns (rows, weights) lists.
     """
     dtype = col1.dtype
-    # --- troposphere: 9-eta with 3-point end treatment ----------------
-    speccomb = col1 + col2_a_rat * col2
+    trop = c.tropo
+    tropf = trop.astype(dtype)
+    rows, weights = [], []
+
+    # --- troposphere ------------------------------------------------------
+    speccomb = col1 + rat_a * col2
     specparm, js, fs = _eta_index(col1 / speccomb, 8.0)
-    speccomb1 = col1 + col2_a_rat1 * col2
+    speccomb1 = col1 + rat_a1 * col2
     specparm1, js1, fs1 = _eta_index(col1 / speccomb1, 8.0)
+    row0 = ((c.jp - 1) * 5 + (c.jt - 1)) * 9 + js
+    row1 = (c.jp * 5 + (c.jt1 - 1)) * 9 + js1
+    w0 = _eta_weights_tropo(specparm, fs)
+    w1 = _eta_weights_tropo(specparm1, fs1)
+    offs = (-1, 0, 1, 2)
+    # fac00/fac10 pair with the jt row (row0, +9); fac01/fac11 with jt1
+    for off, wsel in zip(offs, w0):
+        rows.append(jnp.where(trop, row0 + off, 0))
+        weights.append(tropf * speccomb * wsel * c.fac00)
+        rows.append(jnp.where(trop, row0 + off + 9, 0))
+        weights.append(tropf * speccomb * wsel * c.fac10)
+    for off, wsel in zip(offs, w1):
+        rows.append(jnp.where(trop, row1 + off, 0))
+        weights.append(tropf * speccomb1 * wsel * c.fac01)
+        rows.append(jnp.where(trop, row1 + off + 9, 0))
+        weights.append(tropf * speccomb1 * wsel * c.fac11)
 
-    row0_a = ((c.jp - 1) * 5 + (c.jt - 1)) * 9 + js
-    row1_a = (c.jp * 5 + (c.jt1 - 1)) * 9 + js1
-    off0, w0 = _eta_weights_tropo(specparm, fs, c.fac00, c.fac10)
-    off1, w1 = _eta_weights_tropo(specparm1, fs1, c.fac01, c.fac11)
+    if not has_b:
+        return rows, weights
 
-    def gather_sum(tab, row, offs, w):
-        rows = row[..., None] + offs  # (..., 8)
-        vals = _take(tab, rows.reshape(*rows.shape[:-1], -1))  # (...,8,ng)
-        return (w[..., None] * vals).sum(axis=-2)
-
-    tau_a = (speccomb[..., None] * gather_sum(absa, row0_a, off0, w0)
-             + speccomb1[..., None] * gather_sum(absa, row1_a, off1, w1))
-
-    if absb is None:
-        return tau_a, (js, fs, js1, fs1)
-
-    # --- stratosphere ---------------------------------------------------
-    if neta_b == 1:
-        colgas_b = col1  # unused; caller handles no-eta strat separately
-        raise ValueError("use _major_noeta for neta_b=1 bands")
-    speccomb_b = col1 + col2_b_rat * col2
-    specparm_b, jsb, fsb = _eta_index(col1 / speccomb_b, 4.0)
-    speccomb1_b = col1 + col2_b_rat1 * col2
-    specparm1_b, jsb1, fsb1 = _eta_index(col1 / speccomb1_b, 4.0)
-
-    row0_b = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
-    row1_b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
-
-    def strat_term(tab, row, fs_, f0, f1):
-        return ((1.0 - fs_)[..., None]
-                * (f0[..., None] * _take(tab, row)
-                   + f1[..., None] * _take(tab, row + 5))
-                + fs_[..., None]
-                * (f0[..., None] * _take(tab, row + 1)
-                   + f1[..., None] * _take(tab, row + 6)))
-
-    tau_b = (speccomb_b[..., None]
-             * strat_term(absb, row0_b, fsb, c.fac00, c.fac10)
-             + speccomb1_b[..., None]
-             * strat_term(absb, row1_b, fsb1, c.fac01, c.fac11))
-
-    tau = jnp.where(c.tropo[..., None], tau_a, tau_b)
-    return tau, (js, fs, js1, fs1)
+    # --- stratosphere: 5-eta linear ---------------------------------------
+    c1b = col1 if col1_b is None else col1_b
+    c2b = col2 if col2_b is None else col2_b
+    stratf = 1.0 - tropf
+    speccomb_b = c1b + rat_b * c2b
+    _, jsb, fsb = _eta_index(c1b / speccomb_b, 4.0)
+    speccomb1_b = c1b + rat_b1 * c2b
+    _, jsb1, fsb1 = _eta_index(c1b / speccomb1_b, 4.0)
+    row0b = na + ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
+    row1b = na + ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
+    for row, fs_, sc, f0, f1 in ((row0b, fsb, speccomb_b, c.fac00, c.fac10),
+                                 (row1b, fsb1, speccomb1_b, c.fac01,
+                                  c.fac11)):
+        rows.append(jnp.where(trop, na, row))
+        weights.append(stratf * sc * (1.0 - fs_) * f0)
+        rows.append(jnp.where(trop, na, row + 1))
+        weights.append(stratf * sc * fs_ * f0)
+        rows.append(jnp.where(trop, na, row + 5))
+        weights.append(stratf * sc * (1.0 - fs_) * f1)
+        rows.append(jnp.where(trop, na, row + 6))
+        weights.append(stratf * sc * fs_ * f1)
+    return rows, weights
 
 
-def _pfrac_eta(fracref, col1, rat, col2, mult):
-    """Eta-interpolated Planck fraction. fracref: (ng, neta)."""
-    speccomb = col1 + rat * col2
-    _, jpl, fpl = _eta_index(col1 / speccomb, float(mult))
-    frt = fracref.T  # (neta, ng)
-    return _lin(frt, jpl, fpl)
-
-
-def _minor_eta(ktab, jm, fm, indminor, minorfrac):
-    """Minor-gas absorption with eta dependence. ktab: (neta, 19, ng)."""
+def _minor_eta_section(ktab, jm, fm, indminor, minorfrac, scale):
+    """Minor-gas lookup with eta dependence. ktab: (neta, 19, ng)."""
     neta, nt, ng = ktab.shape
-    flat = ktab.reshape(neta * nt, ng)
+    flat = np.asarray(ktab).reshape(neta * nt, ng)
     row = jm * nt + (indminor - 1)
-    m1 = _take(flat, row) + fm[..., None] * (
-        _take(flat, row + nt) - _take(flat, row))
-    m2 = _take(flat, row + 1) + fm[..., None] * (
-        _take(flat, row + nt + 1) - _take(flat, row + 1))
-    return m1 + minorfrac[..., None] * (m2 - m1)
+    w_m1 = 1.0 - minorfrac
+    rows = [row, row + nt, row + 1, row + nt + 1]
+    weights = [scale * w_m1 * (1.0 - fm), scale * w_m1 * fm,
+               scale * minorfrac * (1.0 - fm), scale * minorfrac * fm]
+    return Section(flat, rows, weights)
 
 
-def _minor_noeta(ktab, indminor, minorfrac):
-    """Minor-gas absorption, no eta. ktab: (19, ng)."""
-    return _lin(ktab, indminor - 1, minorfrac)
+def _minor_noeta_section(ktab, indminor, minorfrac, scale):
+    """Minor-gas lookup, no eta. ktab: (19, ng)."""
+    return Section(np.asarray(ktab), [indminor - 1, indminor],
+                   [scale * (1.0 - minorfrac), scale * minorfrac])
+
+
+def _const_section(vec, weight):
+    """Rank-1 term weight[cell] * vec[g] as a single-row lookup."""
+    tab = np.asarray(vec)[None, :]
+    z = jnp.zeros_like(weight, dtype=jnp.int32)
+    return Section(tab, [z], [weight])
+
+
+def _switch_section(vec_a, vec_b, tropo, dtype):
+    """Per-cell choice between two constant g-rows (fracrefa/b)."""
+    tab = np.stack([np.asarray(vec_a), np.asarray(vec_b)])
+    rows = [jnp.where(tropo, 0, 1).astype(jnp.int32)]
+    return Section(tab, rows, [jnp.ones(tropo.shape, dtype)])
+
+
+def _pfrac_eta_sections(c, fracrefa, fracrefb, col1, rat_a, col2_a,
+                        mult_a, col1_b=None, rat_b=None, col2_b=None,
+                        mult_b=4.0):
+    """Eta-interpolated Planck fraction sections.
+
+    fracrefa: (ng, neta_a); fracrefb: (ng, neta_b) or (ng,) constant or
+    None (A used everywhere with strat weight zero -> caller supplies
+    fallback)."""
+    dtype = col1.dtype
+    trop = c.tropo
+    tropf = trop.astype(dtype)
+    secs = []
+    speccomb = col1 + rat_a * col2_a
+    _, jpl, fpl = _eta_index(col1 / speccomb, mult_a)
+    ta = np.asarray(fracrefa).T  # (neta, ng)
+    secs.append(Section(ta, [jpl, jpl + 1],
+                        [tropf * (1.0 - fpl), tropf * fpl]))
+    stratf = 1.0 - tropf
+    if fracrefb is None:
+        return secs, stratf
+    fb = np.asarray(fracrefb)
+    if fb.ndim == 1:
+        secs.append(_const_section(fb, stratf))
+    else:
+        speccomb_b = col1_b + rat_b * col2_b
+        _, jplb, fplb = _eta_index(col1_b / speccomb_b, mult_b)
+        tb = fb.T
+        secs.append(Section(tb, [jplb, jplb + 1],
+                            [stratf * (1.0 - fplb), stratf * fplb]))
+    return secs, stratf
 
 
 def _chi_adjust(col, coldry, chi_row, jp, thresh, base, expo,
-                ref_is_chi=True, chi_const=None):
+                chi_const=None):
     """Chi-ratio based column adjustment for minor gases
     (e.g. rrtm_taumol3.F90:115-122)."""
-    ref = chi_const if chi_const is not None else chi_row[jp]  # chi at jp+1
+    ref = chi_const if chi_const is not None else chi_row[jp]
     chi = col / coldry
     rat = 1.0e20 * chi / ref
     adjfac = base + jnp.maximum(rat - base, 1e-30) ** expo
@@ -203,352 +228,370 @@ def _chi_adjust(col, coldry, chi_row, jp, thresh, base, expo,
     return jnp.where(rat > thresh, adjcol, col)
 
 
-def taumol_lw(c: Coeffs, t: dict):
+def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     """All 16 LW bands. Returns (tau, pfrac), each (ncol, nlev, 140)."""
-    chi = jnp.asarray(t["chi_mls"], c.colh2o.dtype)  # (7, 59)
+    ncol, nlev = c2.tropo.shape
+    n = ncol * nlev
+    c = _flat(c2)
+    dtype = c.colh2o.dtype
+    chi = jnp.asarray(t["chi_mls"], dtype)  # (7, 59)
+    trop = c.tropo
+    tropf = trop.astype(dtype)
+    stratf = 1.0 - tropf
+    ones = jnp.ones_like(tropf)
     taus, fracs = [], []
-    trop = c.tropo[..., None]
 
     def chi_at(gas_1b, jp_1b):
-        # chi_mls(gas, jp) with Fortran 1-based indices
         return float(np.asarray(t["chi_mls"])[gas_1b - 1, jp_1b - 1])
 
-    # ---------------- band 1: h2o, minor N2 --------------------------------
-    selfref, forref = t["lw1_selfref"], t["lw1_forref"]
-    tauself, taufor = _self_for(c, selfref, forref)
-    major = _major_noeta(c, t["lw1_absa"], t["lw1_absb"], c.colh2o, c.colh2o)
+    def ev(sections):
+        return eval_sections(sections, n, use_pallas=use_pallas,
+                             dtype=dtype)
+
+    def eta_major_section(band, col1, col2, rat_a, rat_a1, rat_b=None,
+                          rat_b1=None, col1_b=None, col2_b=None,
+                          has_b=False):
+        absa = np.asarray(t[f"lw{band}_absa"])
+        if has_b:
+            absb = np.asarray(t[f"lw{band}_absb"])
+            tab = np.concatenate([absa, absb], axis=0)
+        else:
+            tab = np.concatenate([absa, np.zeros((1, absa.shape[1]),
+                                                 absa.dtype)], axis=0)
+        rows, weights = _major_eta_rows_weights(
+            c, absa.shape[0], col1, col2, rat_a, rat_a1, rat_b, rat_b1,
+            col1_b=col1_b, col2_b=col2_b, has_b=has_b)
+        return Section(tab, rows, weights)
+
+    # ---------------- band 1: h2o, minor N2 -------------------------------
+    secs = [_major_noeta_section(c, t["lw1_absa"], t["lw1_absb"],
+                                 c.colh2o, c.colh2o)]
+    secs += _self_for_sections(c, t["lw1_selfref"], t["lw1_forref"])
     scalen2 = c.colbrd * c.scaleminorn2
-    taun2_a = scalen2[..., None] * _minor_noeta(
-        t["lw1_kao_mn2"], c.indminor, c.minorfrac)
-    taun2_b = scalen2[..., None] * _minor_noeta(
-        t["lw1_kbo_mn2"], c.indminor, c.minorfrac)
-    taun2 = jnp.where(trop, taun2_a, taun2_b)
-    corradj_a = jnp.where(c.pavel < 250.0,
-                          1.0 - 0.15 * (250.0 - c.pavel) / 154.4, 1.0)
-    corradj_b = 1.0 - 0.15 * (c.pavel / 95.6)
-    corradj = jnp.where(c.tropo, corradj_a, corradj_b)
-    taus.append(corradj[..., None] * (major + tauself + taufor + taun2))
-    fr = jnp.where(trop, jnp.asarray(t["lw1_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw1_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    secs.append(_minor_noeta_section(t["lw1_kao_mn2"], c.indminor,
+                                     c.minorfrac, tropf * scalen2))
+    secs.append(_minor_noeta_section(t["lw1_kbo_mn2"], c.indminor,
+                                     c.minorfrac, stratf * scalen2))
+    tau = ev(secs)
+    corradj = jnp.where(trop,
+                        jnp.where(c.pavel < 250.0,
+                                  1.0 - 0.15 * (250.0 - c.pavel) / 154.4,
+                                  1.0),
+                        1.0 - 0.15 * (c.pavel / 95.6))
+    taus.append(corradj[None, :] * tau)
+    fracs.append(ev([_switch_section(t["lw1_fracrefa"], t["lw1_fracrefb"],
+                                     trop, dtype)]))
 
-    # ---------------- band 2: h2o ------------------------------------------
-    tauself, taufor = _self_for(c, t["lw2_selfref"], t["lw2_forref"])
-    major = _major_noeta(c, t["lw2_absa"], t["lw2_absb"], c.colh2o, c.colh2o)
-    corradj = 1.0 - 0.05 * (c.pavel - 100.0) / 900.0
-    tau_a = corradj[..., None] * (major + tauself + taufor)
-    tau_b = major + taufor
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    fr = jnp.where(trop, jnp.asarray(t["lw2_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw2_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    # ---------------- band 2: h2o -----------------------------------------
+    # tropo: corradj*(major+self+for); strat: major+for. Fold corradj into
+    # the tropo weights.
+    corradj2 = 1.0 - 0.05 * (c.pavel - 100.0) / 900.0
+    wa = jnp.where(trop, corradj2, 1.0)
+    sec_major = _major_noeta_section(c, t["lw2_absa"], t["lw2_absb"],
+                                     c.colh2o * corradj2, c.colh2o)
+    sf = _self_for_sections(c, t["lw2_selfref"], t["lw2_forref"])
+    self_sec = Section(sf[0].table, sf[0].rows,
+                       [w * corradj2 for w in sf[0].weights])
+    for_sec = Section(sf[1].table, sf[1].rows,
+                      [w * wa for w in sf[1].weights])
+    taus.append(ev([sec_major, self_sec, for_sec]))
+    fracs.append(ev([_switch_section(t["lw2_fracrefa"], t["lw2_fracrefb"],
+                                     trop, dtype)]))
 
-    # ---------------- band 3: h2o+co2, minor n2o ---------------------------
-    tauself, taufor = _self_for(c, t["lw3_selfref"], t["lw3_forref"])
-    major, _ = _major_eta(c, t["lw3_absa"], t["lw3_absb"],
-                          c.colh2o, c.rat_h2oco2, c.rat_h2oco2_1,
-                          c.rat_h2oco2, c.rat_h2oco2_1, c.colco2)
-    # minor N2O, eta-dependent (A: 9 eta, B: 5 eta)
+    # ---------------- band 3: h2o+co2, minor n2o --------------------------
+    secs = [eta_major_section(3, c.colh2o, c.colco2, c.rat_h2oco2,
+                              c.rat_h2oco2_1, c.rat_h2oco2, c.rat_h2oco2_1,
+                              has_b=True)]
+    secs += _self_for_sections(c, t["lw3_selfref"], t["lw3_forref"])
     refm_a = chi_at(1, 3) / chi_at(2, 3)
     refm_b = chi_at(1, 13) / chi_at(2, 13)
-    _, jm_a, fm_a = _eta_index(
-        c.colh2o / (c.colh2o + refm_a * c.colco2), 8.0)
-    _, jm_b, fm_b = _eta_index(
-        c.colh2o / (c.colh2o + refm_b * c.colco2), 4.0)
-    absn2o_a = _minor_eta(t["lw3_kao_mn2o"], jm_a, fm_a,
-                          c.indminor, c.minorfrac)
-    absn2o_b = _minor_eta(t["lw3_kbo_mn2o"], jm_b, fm_b,
-                          c.indminor, c.minorfrac)
-    absn2o = jnp.where(trop, absn2o_a, absn2o_b)
+    _, jm_a, fm_a = _eta_index(c.colh2o / (c.colh2o + refm_a * c.colco2),
+                               8.0)
+    _, jm_b, fm_b = _eta_index(c.colh2o / (c.colh2o + refm_b * c.colco2),
+                               4.0)
     adjcoln2o = _chi_adjust(c.coln2o, c.coldry, chi[3], c.jp,
                             1.5, 0.5, 0.65)
-    taus.append(jnp.where(trop, major + tauself + taufor, major + taufor)
-                + adjcoln2o[..., None] * absn2o)
-    pf_a = _pfrac_eta(jnp.asarray(t["lw3_fracrefa"], major.dtype),
-                      c.colh2o, chi_at(1, 9) / chi_at(2, 9), c.colco2, 8.0)
-    pf_b = _pfrac_eta(jnp.asarray(t["lw3_fracrefb"], major.dtype),
-                      c.colh2o, chi_at(1, 13) / chi_at(2, 13), c.colco2, 4.0)
-    fracs.append(jnp.where(trop, pf_a, pf_b))
+    secs.append(_minor_eta_section(t["lw3_kao_mn2o"], jm_a, fm_a,
+                                   c.indminor, c.minorfrac,
+                                   tropf * adjcoln2o))
+    secs.append(_minor_eta_section(t["lw3_kbo_mn2o"], jm_b, fm_b,
+                                   c.indminor, c.minorfrac,
+                                   stratf * adjcoln2o))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw3_fracrefa"], t["lw3_fracrefb"],
+        c.colh2o, chi_at(1, 9) / chi_at(2, 9), c.colco2, 8.0,
+        col1_b=c.colh2o, rat_b=chi_at(1, 13) / chi_at(2, 13),
+        col2_b=c.colco2, mult_b=4.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 4: h2o+co2 / o3+co2 -----------------------------
-    tauself, taufor = _self_for(c, t["lw4_selfref"], t["lw4_forref"])
-    # tropo: h2o+co2; strat: o3+co2 (different first species!)
-    major_a, _ = _major_eta(c, t["lw4_absa"], None,
-                            c.colh2o, c.rat_h2oco2, c.rat_h2oco2_1,
-                            None, None, c.colco2)
-    # strat part with o3+co2
-    speccomb_b = c.colo3 + c.rat_o3co2 * c.colco2
-    _, jsb, fsb = _eta_index(c.colo3 / speccomb_b, 4.0)
-    speccomb1_b = c.colo3 + c.rat_o3co2_1 * c.colco2
-    _, jsb1, fsb1 = _eta_index(c.colo3 / speccomb1_b, 4.0)
-    absb = t["lw4_absb"]
-    row0_b = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
-    row1_b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
-
-    def strat_term(tab, row, fs_, f0, f1):
-        return ((1.0 - fs_)[..., None]
-                * (f0[..., None] * _take(tab, row)
-                   + f1[..., None] * _take(tab, row + 5))
-                + fs_[..., None]
-                * (f0[..., None] * _take(tab, row + 1)
-                   + f1[..., None] * _take(tab, row + 6)))
-
-    major_b = (speccomb_b[..., None]
-               * strat_term(absb, row0_b, fsb, c.fac00, c.fac10)
-               + speccomb1_b[..., None]
-               * strat_term(absb, row1_b, fsb1, c.fac01, c.fac11))
-    tau4 = jnp.where(trop, major_a + tauself + taufor, major_b)
-    # empirical strat adjustment (rrtm_taumol4.F90: g 8..14, 1-based)
-    ng4 = tau4.shape[-1]
-    scale = np.ones(ng4)
+    # ---------------- band 4: h2o+co2 / o3+co2 ----------------------------
+    secs = [eta_major_section(4, c.colh2o, c.colco2, c.rat_h2oco2,
+                              c.rat_h2oco2_1, c.rat_o3co2, c.rat_o3co2_1,
+                              col1_b=c.colo3, col2_b=c.colco2, has_b=True)]
+    secs += _self_for_sections(c, t["lw4_selfref"], t["lw4_forref"])
+    # self/for apply in troposphere only for this band (strat tau has no
+    # continuum): gate the foreign term
+    secs[1] = Section(secs[1].table, secs[1].rows,
+                      [w for w in secs[1].weights])  # self already gated
+    secs[2] = Section(secs[2].table, secs[2].rows,
+                      [w * tropf for w in secs[2].weights])
+    tau4 = ev(secs)
+    ng4 = tau4.shape[0]
+    scale = np.ones(ng4, np.float32)
     for g_1b, f in zip(range(8, 15), (0.92, 0.88, 1.07, 1.1, 0.99,
                                       0.88, 0.943)):
         if g_1b <= ng4:
             scale[g_1b - 1] = f
-    tau4 = jnp.where(trop, tau4, tau4 * jnp.asarray(scale, tau4.dtype))
-    taus.append(tau4)
-    pf_a = _pfrac_eta(jnp.asarray(t["lw4_fracrefa"], tau4.dtype),
-                      c.colh2o, chi_at(1, 11) / chi_at(2, 11), c.colco2, 8.0)
-    pf_b = _pfrac_eta(jnp.asarray(t["lw4_fracrefb"], tau4.dtype),
-                      c.colo3, chi_at(3, 13) / chi_at(2, 13), c.colco2, 4.0)
-    fracs.append(jnp.where(trop, pf_a, pf_b))
+    scale_cell = (jnp.asarray(scale, dtype)[:, None] * stratf[None, :]
+                  + tropf[None, :])
+    taus.append(tau4 * scale_cell)
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw4_fracrefa"], t["lw4_fracrefb"],
+        c.colh2o, chi_at(1, 11) / chi_at(2, 11), c.colco2, 8.0,
+        col1_b=c.colo3, rat_b=chi_at(3, 13) / chi_at(2, 13),
+        col2_b=c.colco2, mult_b=4.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 5: h2o+co2 / o3+co2, minor o3, ccl4 -------------
-    tauself, taufor = _self_for(c, t["lw5_selfref"], t["lw5_forref"])
-    major_a, _ = _major_eta(c, t["lw5_absa"], None,
-                            c.colh2o, c.rat_h2oco2, c.rat_h2oco2_1,
-                            None, None, c.colco2)
+    # ---------------- band 5: h2o+co2 / o3+co2, minor o3, ccl4 ------------
+    secs = [eta_major_section(5, c.colh2o, c.colco2, c.rat_h2oco2,
+                              c.rat_h2oco2_1, c.rat_o3co2, c.rat_o3co2_1,
+                              col1_b=c.colo3, col2_b=c.colco2, has_b=True)]
+    sf = _self_for_sections(c, t["lw5_selfref"], t["lw5_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     refm_a = chi_at(1, 7) / chi_at(2, 7)
-    _, jmo3, fmo3 = _eta_index(
-        c.colh2o / (c.colh2o + refm_a * c.colco2), 8.0)
-    abso3 = _minor_eta(t["lw5_kao_mo3"], jmo3, fmo3, c.indminor, c.minorfrac)
-    speccomb_b = c.colo3 + c.rat_o3co2 * c.colco2
-    _, jsb, fsb = _eta_index(c.colo3 / speccomb_b, 4.0)
-    speccomb1_b = c.colo3 + c.rat_o3co2_1 * c.colco2
-    _, jsb1, fsb1 = _eta_index(c.colo3 / speccomb1_b, 4.0)
-    absb = t["lw5_absb"]
-    row0_b = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
-    row1_b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
-    major_b = (speccomb_b[..., None]
-               * strat_term(absb, row0_b, fsb, c.fac00, c.fac10)
-               + speccomb1_b[..., None]
-               * strat_term(absb, row1_b, fsb1, c.fac01, c.fac11))
-    ccl4 = jnp.asarray(t["lw5_ccl4"], major_a.dtype)
-    tau_a = (major_a + tauself + taufor
-             + c.colo3[..., None] * abso3 + c.wx_ccl4[..., None] * ccl4)
-    tau_b = major_b + c.wx_ccl4[..., None] * ccl4
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw5_fracrefa"], major_a.dtype),
-                      c.colh2o, chi_at(1, 5) / chi_at(2, 5), c.colco2, 8.0)
-    pf_b = _pfrac_eta(jnp.asarray(t["lw5_fracrefb"], major_a.dtype),
-                      c.colo3, chi_at(3, 43) / chi_at(2, 43), c.colco2, 4.0)
-    fracs.append(jnp.where(trop, pf_a, pf_b))
+    _, jmo3, fmo3 = _eta_index(c.colh2o / (c.colh2o + refm_a * c.colco2),
+                               8.0)
+    secs.append(_minor_eta_section(t["lw5_kao_mo3"], jmo3, fmo3,
+                                   c.indminor, c.minorfrac,
+                                   tropf * c.colo3))
+    secs.append(_const_section(t["lw5_ccl4"], c.wx_ccl4))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw5_fracrefa"], t["lw5_fracrefb"],
+        c.colh2o, chi_at(1, 5) / chi_at(2, 5), c.colco2, 8.0,
+        col1_b=c.colo3, rat_b=chi_at(3, 43) / chi_at(2, 43),
+        col2_b=c.colco2, mult_b=4.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 6: h2o; minor co2; cfc11, cfc12 ------------------
-    tauself, taufor = _self_for(c, t["lw6_selfref"], t["lw6_forref"])
+    # ---------------- band 6: h2o; minor co2; cfc11, cfc12 ----------------
+    absa6 = np.asarray(t["lw6_absa"])
     r0a = (c.jp - 1) * 5 + (c.jt - 1)
     r1a = c.jp * 5 + (c.jt1 - 1)
-    absa = t["lw6_absa"]
-    major_a = c.colh2o[..., None] * (
-        c.fac00[..., None] * _take(absa, r0a)
-        + c.fac10[..., None] * _take(absa, r0a + 1)
-        + c.fac01[..., None] * _take(absa, r1a)
-        + c.fac11[..., None] * _take(absa, r1a + 1))
-    absco2 = _minor_noeta(t["lw6_kao_mco2"], c.indminor, c.minorfrac)
+    wh = tropf * c.colh2o
+    secs = [Section(absa6,
+                    [jnp.where(trop, r0a, 0), jnp.where(trop, r0a + 1, 0),
+                     jnp.where(trop, r1a, 0), jnp.where(trop, r1a + 1, 0)],
+                    [wh * c.fac00, wh * c.fac10, wh * c.fac01,
+                     wh * c.fac11])]
+    sf = _self_for_sections(c, t["lw6_selfref"], t["lw6_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     adjcolco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp,
                             3.0, 2.0, 0.77)
-    cfc11 = jnp.asarray(t["lw6_cfc11adj"], major_a.dtype)
-    cfc12 = jnp.asarray(t["lw6_cfc12"], major_a.dtype)
-    cfc_term = (c.wx_cfc11[..., None] * cfc11
-                + c.wx_cfc12[..., None] * cfc12)
-    tau_a = (major_a + tauself + taufor
-             + adjcolco2[..., None] * absco2 + cfc_term)
-    taus.append(jnp.where(trop, tau_a, cfc_term))
-    fr = jnp.asarray(t["lw6_fracrefa"], major_a.dtype)
-    fracs.append(jnp.broadcast_to(fr, tau_a.shape))
+    secs.append(_minor_noeta_section(t["lw6_kao_mco2"], c.indminor,
+                                     c.minorfrac, tropf * adjcolco2))
+    secs.append(_const_section(t["lw6_cfc11adj"], c.wx_cfc11))
+    secs.append(_const_section(t["lw6_cfc12"], c.wx_cfc12))
+    taus.append(ev(secs))
+    fracs.append(ev([_const_section(t["lw6_fracrefa"], ones)]))
 
-    # ---------------- band 7: h2o+o3; minor co2 -----------------------------
-    tauself, taufor = _self_for(c, t["lw7_selfref"], t["lw7_forref"])
-    major_a, _ = _major_eta(c, t["lw7_absa"], None,
-                            c.colh2o, c.rat_h2oo3, c.rat_h2oo3_1,
-                            None, None, c.colo3)
+    # ---------------- band 7: h2o+o3; minor co2 ---------------------------
+    secs = [eta_major_section(7, c.colh2o, c.colo3, c.rat_h2oo3,
+                              c.rat_h2oo3_1, has_b=False)]
+    # strat major: o3 against absb, no eta
+    secs.append(_major_noeta_section(
+        c, np.zeros_like(np.asarray(t["lw7_absa"])[:1]), t["lw7_absb"],
+        jnp.zeros_like(c.colo3), c.colo3))
+    secs += _self_for_sections(c, t["lw7_selfref"], t["lw7_forref"])
+    secs[3] = Section(secs[3].table, secs[3].rows,
+                      [w * tropf for w in secs[3].weights])
     refm_a = chi_at(1, 3) / chi_at(3, 3)
-    _, jmco2, fmco2 = _eta_index(
-        c.colh2o / (c.colh2o + refm_a * c.colo3), 8.0)
-    absco2_a = _minor_eta(t["lw7_kao_mco2"], jmco2, fmco2,
-                          c.indminor, c.minorfrac)
-    absco2_b = _minor_noeta(t["lw7_kbo_mco2"], c.indminor, c.minorfrac)
+    _, jmco2, fmco2 = _eta_index(c.colh2o / (c.colh2o + refm_a * c.colo3),
+                                 8.0)
     adj_a = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 3.0, 0.79)
     adj_b = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.79)
-    major_b = _major_noeta(c, t["lw7_absa"][:1] * 0.0, t["lw7_absb"],
-                           jnp.zeros_like(c.colo3), c.colo3)
-    tau_a = (major_a + tauself + taufor + adj_a[..., None] * absco2_a)
-    tau_b = major_b + adj_b[..., None] * absco2_b
-    tau7 = jnp.where(trop, tau_a, tau_b)
-    # empirical strat scaling (rrtm_taumol7.F90: g 6..11 of 12, 1-based)
-    ng7 = tau7.shape[-1]
-    scale = np.ones(ng7)
+    secs.append(_minor_eta_section(t["lw7_kao_mco2"], jmco2, fmco2,
+                                   c.indminor, c.minorfrac, tropf * adj_a))
+    secs.append(_minor_noeta_section(t["lw7_kbo_mco2"], c.indminor,
+                                     c.minorfrac, stratf * adj_b))
+    tau7 = ev(secs)
+    ng7 = tau7.shape[0]
+    scale = np.ones(ng7, np.float32)
     for g_1b, f in zip(range(6, 12), (0.92, 0.88, 1.07, 1.1, 0.99, 0.855)):
         scale[g_1b - 1] = f
-    tau7 = jnp.where(trop, tau7, tau7 * jnp.asarray(scale, tau7.dtype))
-    taus.append(tau7)
-    pf_a = _pfrac_eta(jnp.asarray(t["lw7_fracrefa"], tau7.dtype),
-                      c.colh2o, chi_at(1, 3) / chi_at(3, 3), c.colo3, 8.0)
-    fr_b = jnp.asarray(t["lw7_fracrefb"], tau7.dtype)
-    fracs.append(jnp.where(trop, pf_a, jnp.broadcast_to(fr_b, tau7.shape)))
+    scale_cell = (jnp.asarray(scale, dtype)[:, None] * stratf[None, :]
+                  + tropf[None, :])
+    taus.append(tau7 * scale_cell)
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw7_fracrefa"], np.asarray(t["lw7_fracrefb"]),
+        c.colh2o, chi_at(1, 3) / chi_at(3, 3), c.colo3, 8.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 8: h2o / o3; minors co2,o3,n2o; cfc12, cfc22 ----
-    tauself, taufor = _self_for(c, t["lw8_selfref"], t["lw8_forref"])
-    major = _major_noeta(c, t["lw8_absa"], t["lw8_absb"], c.colh2o, c.colo3)
+    # ---------------- band 8: h2o / o3; minors co2,o3,n2o; cfc12,cfc22 ----
+    secs = [_major_noeta_section(c, t["lw8_absa"], t["lw8_absb"],
+                                 c.colh2o, c.colo3)]
+    sf = _self_for_sections(c, t["lw8_selfref"], t["lw8_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     adjco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.65)
-    absco2_a = _minor_noeta(t["lw8_kao_mco2"], c.indminor, c.minorfrac)
-    absco2_b = _minor_noeta(t["lw8_kbo_mco2"], c.indminor, c.minorfrac)
-    abso3_a = _minor_noeta(t["lw8_kao_mo3"], c.indminor, c.minorfrac)
-    absn2o_a = _minor_noeta(t["lw8_kao_mn2o"], c.indminor, c.minorfrac)
-    absn2o_b = _minor_noeta(t["lw8_kbo_mn2o"], c.indminor, c.minorfrac)
-    cfc12 = jnp.asarray(t["lw8_cfc12"], major.dtype)
-    cfc22 = jnp.asarray(t["lw8_cfc22adj"], major.dtype)
-    cfc_term = (c.wx_cfc12[..., None] * cfc12
-                + c.wx_cfc22[..., None] * cfc22)
-    tau_a = (major + tauself + taufor + adjco2[..., None] * absco2_a
-             + c.colo3[..., None] * abso3_a
-             + c.coln2o[..., None] * absn2o_a + cfc_term)
-    tau_b = (major + adjco2[..., None] * absco2_b
-             + c.coln2o[..., None] * absn2o_b + cfc_term)
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    fr = jnp.where(trop, jnp.asarray(t["lw8_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw8_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    secs.append(_minor_noeta_section(t["lw8_kao_mco2"], c.indminor,
+                                     c.minorfrac, tropf * adjco2))
+    secs.append(_minor_noeta_section(t["lw8_kbo_mco2"], c.indminor,
+                                     c.minorfrac, stratf * adjco2))
+    secs.append(_minor_noeta_section(t["lw8_kao_mo3"], c.indminor,
+                                     c.minorfrac, tropf * c.colo3))
+    secs.append(_minor_noeta_section(t["lw8_kao_mn2o"], c.indminor,
+                                     c.minorfrac, tropf * c.coln2o))
+    secs.append(_minor_noeta_section(t["lw8_kbo_mn2o"], c.indminor,
+                                     c.minorfrac, stratf * c.coln2o))
+    secs.append(_const_section(t["lw8_cfc12"], c.wx_cfc12))
+    secs.append(_const_section(t["lw8_cfc22adj"], c.wx_cfc22))
+    taus.append(ev(secs))
+    fracs.append(ev([_switch_section(t["lw8_fracrefa"], t["lw8_fracrefb"],
+                                     trop, dtype)]))
 
-    # ---------------- band 9: h2o+ch4; minor n2o ----------------------------
-    tauself, taufor = _self_for(c, t["lw9_selfref"], t["lw9_forref"])
-    major_a, _ = _major_eta(c, t["lw9_absa"], None,
-                            c.colh2o, c.rat_h2och4, c.rat_h2och4_1,
-                            None, None, c.colch4)
+    # ---------------- band 9: h2o+ch4; minor n2o --------------------------
+    secs = [eta_major_section(9, c.colh2o, c.colch4, c.rat_h2och4,
+                              c.rat_h2och4_1, has_b=False)]
+    secs.append(_major_noeta_section(
+        c, np.zeros_like(np.asarray(t["lw9_absa"])[:1]), t["lw9_absb"],
+        jnp.zeros_like(c.colch4), c.colch4))
+    sf = _self_for_sections(c, t["lw9_selfref"], t["lw9_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     refm_a = chi_at(1, 3) / chi_at(6, 3)
     _, jmn2o, fmn2o = _eta_index(
         c.colh2o / (c.colh2o + refm_a * c.colch4), 8.0)
-    absn2o_a = _minor_eta(t["lw9_kao_mn2o"], jmn2o, fmn2o,
-                          c.indminor, c.minorfrac)
-    absn2o_b = _minor_noeta(t["lw9_kbo_mn2o"], c.indminor, c.minorfrac)
     adjn2o = _chi_adjust(c.coln2o, c.coldry, chi[3], c.jp, 1.5, 0.5, 0.65)
-    major_b = _major_noeta(c, t["lw9_absa"][:1] * 0.0, t["lw9_absb"],
-                           jnp.zeros_like(c.colch4), c.colch4)
-    tau_a = major_a + tauself + taufor + adjn2o[..., None] * absn2o_a
-    tau_b = major_b + adjn2o[..., None] * absn2o_b
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw9_fracrefa"], tau_a.dtype),
-                      c.colh2o, chi_at(1, 9) / chi_at(6, 9), c.colch4, 8.0)
-    fr_b = jnp.asarray(t["lw9_fracrefb"], tau_a.dtype)
-    fracs.append(jnp.where(trop, pf_a, jnp.broadcast_to(fr_b, tau_a.shape)))
+    secs.append(_minor_eta_section(t["lw9_kao_mn2o"], jmn2o, fmn2o,
+                                   c.indminor, c.minorfrac,
+                                   tropf * adjn2o))
+    secs.append(_minor_noeta_section(t["lw9_kbo_mn2o"], c.indminor,
+                                     c.minorfrac, stratf * adjn2o))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw9_fracrefa"], np.asarray(t["lw9_fracrefb"]),
+        c.colh2o, chi_at(1, 9) / chi_at(6, 9), c.colch4, 8.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 10: h2o ------------------------------------------
-    tauself, taufor = _self_for(c, t["lw10_selfref"], t["lw10_forref"])
-    major = _major_noeta(c, t["lw10_absa"], t["lw10_absb"],
-                         c.colh2o, c.colh2o)
-    taus.append(jnp.where(trop, major + tauself + taufor, major + taufor))
-    fr = jnp.where(trop, jnp.asarray(t["lw10_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw10_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    # ---------------- band 10: h2o ----------------------------------------
+    secs = [_major_noeta_section(c, t["lw10_absa"], t["lw10_absb"],
+                                 c.colh2o, c.colh2o)]
+    sf = _self_for_sections(c, t["lw10_selfref"], t["lw10_forref"])
+    secs.append(sf[0])
+    secs.append(sf[1])
+    taus.append(ev(secs))
+    fracs.append(ev([_switch_section(t["lw10_fracrefa"],
+                                     t["lw10_fracrefb"], trop, dtype)]))
 
-    # ---------------- band 11: h2o; minor o2 --------------------------------
-    tauself, taufor = _self_for(c, t["lw11_selfref"], t["lw11_forref"])
-    major = _major_noeta(c, t["lw11_absa"], t["lw11_absb"],
-                         c.colh2o, c.colh2o)
+    # ---------------- band 11: h2o; minor o2 ------------------------------
+    secs = [_major_noeta_section(c, t["lw11_absa"], t["lw11_absb"],
+                                 c.colh2o, c.colh2o)]
+    sf = _self_for_sections(c, t["lw11_selfref"], t["lw11_forref"])
+    secs.append(sf[0])
+    secs.append(sf[1])
     scaleo2 = c.colo2 * c.scaleminor
-    tauo2_a = scaleo2[..., None] * _minor_noeta(
-        t["lw11_kao_mo2"], c.indminor, c.minorfrac)
-    tauo2_b = scaleo2[..., None] * _minor_noeta(
-        t["lw11_kbo_mo2"], c.indminor, c.minorfrac)
-    tau_a = major + tauself + taufor + tauo2_a
-    tau_b = major + taufor + tauo2_b
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    fr = jnp.where(trop, jnp.asarray(t["lw11_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw11_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    secs.append(_minor_noeta_section(t["lw11_kao_mo2"], c.indminor,
+                                     c.minorfrac, tropf * scaleo2))
+    secs.append(_minor_noeta_section(t["lw11_kbo_mo2"], c.indminor,
+                                     c.minorfrac, stratf * scaleo2))
+    taus.append(ev(secs))
+    fracs.append(ev([_switch_section(t["lw11_fracrefa"],
+                                     t["lw11_fracrefb"], trop, dtype)]))
 
-    # ---------------- band 12: h2o+co2 (A only) -----------------------------
-    tauself, taufor = _self_for(c, t["lw12_selfref"], t["lw12_forref"])
-    major_a, _ = _major_eta(c, t["lw12_absa"], None,
-                            c.colh2o, c.rat_h2oco2, c.rat_h2oco2_1,
-                            None, None, c.colco2)
-    tau_a = major_a + tauself + taufor
-    taus.append(jnp.where(trop, tau_a, jnp.zeros_like(tau_a)))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw12_fracrefa"], tau_a.dtype),
-                      c.colh2o, chi_at(1, 10) / chi_at(2, 10), c.colco2, 8.0)
-    fracs.append(jnp.where(trop, pf_a, jnp.zeros_like(pf_a)))
+    # ---------------- band 12: h2o+co2 (A only) ---------------------------
+    secs = [eta_major_section(12, c.colh2o, c.colco2, c.rat_h2oco2,
+                              c.rat_h2oco2_1, has_b=False)]
+    sf = _self_for_sections(c, t["lw12_selfref"], t["lw12_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw12_fracrefa"], None,
+        c.colh2o, chi_at(1, 10) / chi_at(2, 10), c.colco2, 8.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 13: h2o+n2o; minors co2, co; strat o3 ------------
-    tauself, taufor = _self_for(c, t["lw13_selfref"], t["lw13_forref"])
-    major_a, _ = _major_eta(c, t["lw13_absa"], None,
-                            c.colh2o, c.rat_h2on2o, c.rat_h2on2o_1,
-                            None, None, c.coln2o)
+    # ---------------- band 13: h2o+n2o; minors co2, co; strat o3 ----------
+    secs = [eta_major_section(13, c.colh2o, c.coln2o, c.rat_h2on2o,
+                              c.rat_h2on2o_1, has_b=False)]
+    sf = _self_for_sections(c, t["lw13_selfref"], t["lw13_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     refm_a = chi_at(1, 1) / chi_at(4, 1)
     _, jmco2, fmco2 = _eta_index(
         c.colh2o / (c.colh2o + refm_a * c.coln2o), 8.0)
-    absco2 = _minor_eta(t["lw13_kao_mco2"], jmco2, fmco2,
-                        c.indminor, c.minorfrac)
     adjco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.68,
                          chi_const=3.55e-4)
-    refm_a3 = chi_at(1, 3) / chi_at(4, 3)
-    _, jmco, fmco = _eta_index(
-        c.colh2o / (c.colh2o + refm_a3 * c.coln2o), 8.0)
-    absco = _minor_eta(t["lw13_kao_mco"], jmco, fmco,
-                       c.indminor, c.minorfrac)
-    # CO column: computed from coldry & chi in reference? The reference
-    # passes COLCO (Z_COLCO); IFS has no CO gas in WKL(5) (prepare_gases
-    # leaves it 0) so COLCO=0 -> the CO term vanishes; keep 0 for parity.
-    colco = jnp.zeros_like(c.colh2o)
-    abso3_b = _minor_noeta(t["lw13_kbo_mo3"], c.indminor, c.minorfrac)
-    tau_a = (major_a + tauself + taufor + adjco2[..., None] * absco2
-             + colco[..., None] * absco)
-    tau_b = c.colo3[..., None] * abso3_b
-    taus.append(jnp.where(trop, tau_a, tau_b))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw13_fracrefa"], tau_a.dtype),
-                      c.colh2o, chi_at(1, 5) / chi_at(4, 5), c.coln2o, 8.0)
-    fr_b = jnp.asarray(t["lw13_fracrefb"], tau_a.dtype)
-    fracs.append(jnp.where(trop, pf_a, jnp.broadcast_to(fr_b, tau_a.shape)))
+    secs.append(_minor_eta_section(t["lw13_kao_mco2"], jmco2, fmco2,
+                                   c.indminor, c.minorfrac,
+                                   tropf * adjco2))
+    # CO column: IFS supplies no CO (prepare_gases leaves it zero), so the
+    # CO term vanishes; kept out for parity.
+    secs.append(_minor_noeta_section(t["lw13_kbo_mo3"], c.indminor,
+                                     c.minorfrac, stratf * c.colo3))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw13_fracrefa"], np.asarray(t["lw13_fracrefb"]),
+        c.colh2o, chi_at(1, 5) / chi_at(4, 5), c.coln2o, 8.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 14: co2 ------------------------------------------
-    tauself, taufor = _self_for(c, t["lw14_selfref"], t["lw14_forref"])
-    major = _major_noeta(c, t["lw14_absa"], t["lw14_absb"],
-                         c.colco2, c.colco2)
-    taus.append(jnp.where(trop, major + tauself + taufor, major))
-    fr = jnp.where(trop, jnp.asarray(t["lw14_fracrefa"], major.dtype),
-                   jnp.asarray(t["lw14_fracrefb"], major.dtype))
-    fracs.append(jnp.broadcast_to(fr, major.shape))
+    # ---------------- band 14: co2 ----------------------------------------
+    secs = [_major_noeta_section(c, t["lw14_absa"], t["lw14_absb"],
+                                 c.colco2, c.colco2)]
+    sf = _self_for_sections(c, t["lw14_selfref"], t["lw14_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
+    taus.append(ev(secs))
+    fracs.append(ev([_switch_section(t["lw14_fracrefa"],
+                                     t["lw14_fracrefb"], trop, dtype)]))
 
-    # ---------------- band 15: n2o+co2; minor n2 (A only) -------------------
-    tauself, taufor = _self_for(c, t["lw15_selfref"], t["lw15_forref"])
-    major_a, _ = _major_eta(c, t["lw15_absa"], None,
-                            c.coln2o, c.rat_n2oco2, c.rat_n2oco2_1,
-                            None, None, c.colco2)
+    # ---------------- band 15: n2o+co2; minor n2 (A only) -----------------
+    secs = [eta_major_section(15, c.coln2o, c.colco2, c.rat_n2oco2,
+                              c.rat_n2oco2_1, has_b=False)]
+    sf = _self_for_sections(c, t["lw15_selfref"], t["lw15_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
     refm_a = chi_at(4, 1) / chi_at(2, 1)
     _, jmn2, fmn2 = _eta_index(
         c.coln2o / (c.coln2o + refm_a * c.colco2), 8.0)
     scalen2 = c.colbrd * c.scaleminor
-    taun2 = scalen2[..., None] * _minor_eta(
-        t["lw15_kao_mn2"], jmn2, fmn2, c.indminor, c.minorfrac)
-    tau_a = major_a + tauself + taufor + taun2
-    taus.append(jnp.where(trop, tau_a, jnp.zeros_like(tau_a)))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw15_fracrefa"], tau_a.dtype),
-                      c.coln2o, chi_at(4, 1) / chi_at(2, 1), c.colco2, 8.0)
-    fracs.append(jnp.where(trop, pf_a, jnp.zeros_like(pf_a)))
+    secs.append(_minor_eta_section(t["lw15_kao_mn2"], jmn2, fmn2,
+                                   c.indminor, c.minorfrac,
+                                   tropf * scalen2))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw15_fracrefa"], None,
+        c.coln2o, chi_at(4, 1) / chi_at(2, 1), c.colco2, 8.0)
+    fracs.append(ev(pf_secs))
 
-    # ---------------- band 16: h2o+ch4 / ch4 --------------------------------
-    tauself, taufor = _self_for(c, t["lw16_selfref"], t["lw16_forref"])
-    major_a, _ = _major_eta(c, t["lw16_absa"], None,
-                            c.colh2o, c.rat_h2och4, c.rat_h2och4_1,
-                            None, None, c.colch4)
-    major_b = _major_noeta(c, t["lw16_absa"][:1] * 0.0, t["lw16_absb"],
-                           jnp.zeros_like(c.colch4), c.colch4)
-    tau_a = major_a + tauself + taufor
-    taus.append(jnp.where(trop, tau_a, major_b))
-    pf_a = _pfrac_eta(jnp.asarray(t["lw16_fracrefa"], tau_a.dtype),
-                      c.colh2o, chi_at(1, 6) / chi_at(6, 6), c.colch4, 8.0)
-    fr_b = jnp.asarray(t["lw16_fracrefb"], tau_a.dtype)
-    fracs.append(jnp.where(trop, pf_a, jnp.broadcast_to(fr_b, tau_a.shape)))
+    # ---------------- band 16: h2o+ch4 / ch4 ------------------------------
+    secs = [eta_major_section(16, c.colh2o, c.colch4, c.rat_h2och4,
+                              c.rat_h2och4_1, has_b=False)]
+    secs.append(_major_noeta_section(
+        c, np.zeros_like(np.asarray(t["lw16_absa"])[:1]), t["lw16_absb"],
+        jnp.zeros_like(c.colch4), c.colch4))
+    sf = _self_for_sections(c, t["lw16_selfref"], t["lw16_forref"])
+    secs.append(sf[0])
+    secs.append(Section(sf[1].table, sf[1].rows,
+                        [w * tropf for w in sf[1].weights]))
+    taus.append(ev(secs))
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw16_fracrefa"], np.asarray(t["lw16_fracrefb"]),
+        c.colh2o, chi_at(1, 6) / chi_at(6, 6), c.colch4, 8.0)
+    fracs.append(ev(pf_secs))
 
-    tau = jnp.concatenate(taus, axis=-1)
-    pfrac = jnp.concatenate(fracs, axis=-1)
+    tau = jnp.concatenate(taus, axis=0)      # (140, N)
+    pfrac = jnp.concatenate(fracs, axis=0)
+    tau = tau.reshape(140, ncol, nlev).transpose(1, 2, 0)
+    pfrac = pfrac.reshape(140, ncol, nlev).transpose(1, 2, 0)
     return tau, pfrac

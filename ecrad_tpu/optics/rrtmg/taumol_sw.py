@@ -6,15 +6,20 @@ g-point plus the top-of-atmosphere solar source (SFLUXZEN) taken at the
 layer where the pressure-interpolation index crosses the band's reference
 level (LAYREFFR / LAYSOLFR logic).
 
-Arrays are (ncol, nlev) surface-first. Instead of compressing to daylight
-columns (reference gathers cols with mu0>0) we compute everywhere and let
-the solver mask night columns — predication beats gathers on TPU.
+Implementation: like the longwave (taumol_lw.py), every k-table lookup is
+a `Section` evaluated by the Pallas one-hot-matmul kernel on TPU (pure-JAX
+take on CPU), with tropopause gating and column amounts folded into the
+per-cell weights and intermediates in (g, cell) orientation. Instead of
+compressing to daylight columns (the reference gathers cols with mu0>0)
+everything is computed and the solver masks night columns — predication
+beats gathers on TPU.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops import Section, eval_sections
 from .setcoef import Coeffs
 
 ONEMINUS = 1.0 - 1.0e-6
@@ -30,13 +35,6 @@ def _lin(tab, ind0, frac):
     return t0 + frac[..., None] * (t1 - t0)
 
 
-def _self_for(c: Coeffs, selfref, forref):
-    tauself = c.selffac[..., None] * _lin(selfref, c.indself - 1, c.selffrac)
-    tauself = jnp.where(c.tropo[..., None], tauself, 0.0)
-    taufor = c.forfac[..., None] * _lin(forref, c.indfor - 1, c.forfrac)
-    return tauself, taufor
-
-
 def _eta(col1, speccomb, mult):
     specparm = jnp.minimum(col1 / speccomb, ONEMINUS)
     specmult = mult * specparm
@@ -45,36 +43,7 @@ def _eta(col1, speccomb, mult):
     return js, fs
 
 
-def _major_noeta_rows(c, nspa, nspb):
-    r0a = ((c.jp - 1) * 5 + (c.jt - 1)) * nspa
-    r1a = (c.jp * 5 + (c.jt1 - 1)) * nspa
-    r0b = ((c.jp - 13) * 5 + (c.jt - 1)) * nspb
-    r1b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * nspb
-    return r0a, r1a, r0b, r1b
-
-
-def _interp2(tab, r0, r1, f00, f10, f01, f11, stride):
-    """2-point (jt) interpolation: fac00*T[r0] + fac10*T[r0+stride] + ..."""
-    return (f00[..., None] * _take(tab, r0)
-            + f10[..., None] * _take(tab, r0 + stride)
-            + f01[..., None] * _take(tab, r1)
-            + f11[..., None] * _take(tab, r1 + stride))
-
-
-def _interp_eta(tab, row, fs, f0, f1, stride):
-    """SW eta interpolation (2-point in eta):
-    (1-fs)*(f0*T[row] + f1*T[row+stride]) + fs*(f0*T[row+1]+f1*T[row+1+s])
-    """
-    return ((1.0 - fs)[..., None] * (f0[..., None] * _take(tab, row)
-                                     + f1[..., None] * _take(tab,
-                                                             row + stride))
-            + fs[..., None] * (f0[..., None] * _take(tab, row + 1)
-                               + f1[..., None] * _take(tab,
-                                                       row + 1 + stride)))
-
-
 def _first_true(mask, default_idx):
-    """Index of first True along the level axis (axis=1), else default."""
     any_ = mask.any(axis=1)
     idx = jnp.argmax(mask, axis=1)
     return jnp.where(any_, idx, default_idx)
@@ -92,7 +61,7 @@ def _laysolfr_strat(c: Coeffs, layreffr: int):
 def _laysolfr_tropo(c: Coeffs, layreffr: int):
     """Tropo-referenced bands (18-25): laysolfr = min(lay+1, laytrop) at
     the tropo layer where jp crosses layreffr; default = laytrop."""
-    laytrop_idx = c.tropo.sum(axis=1) - 1  # 0-based last tropo layer
+    laytrop_idx = c.tropo.sum(axis=1) - 1
     jp_next = jnp.concatenate([c.jp[:, 1:], c.jp[:, -1:]], axis=1)
     crossing = (c.jp < layreffr) & (jp_next >= layreffr) & c.tropo
     lay = _first_true(crossing, laytrop_idx)
@@ -101,272 +70,268 @@ def _laysolfr_tropo(c: Coeffs, layreffr: int):
 
 
 def _at_layer(arr2d, lay):
-    """Gather per-column values at per-column layer index: (ncol,nlev)->(ncol,)"""
     return jnp.take_along_axis(arr2d, lay[:, None], axis=1)[:, 0]
 
 
 def _sflux_1d(sfluxref, ncol, dtype):
-    return jnp.broadcast_to(jnp.asarray(sfluxref, dtype), (ncol,
-                                                           len(sfluxref)))
+    return jnp.broadcast_to(jnp.asarray(sfluxref, dtype),
+                            (ncol, len(sfluxref)))
 
 
 def _sflux_eta(sfluxref, js_lay, fs_lay):
-    """sfluxref: (ng, neta); js/fs per column at the solfr layer."""
     tabt = jnp.asarray(sfluxref).T  # (neta, ng)
     return _lin(tabt, js_lay, fs_lay)
 
 
-def taumol_sw(c: Coeffs, t: dict):
+def taumol_sw(c2: Coeffs, t: dict, use_pallas=None):
     """All 14 SW bands. Returns (taug, taur, sfluxzen):
     taug/taur (ncol, nlev, 112), sfluxzen (ncol, 112)."""
-    dtype = c.colh2o.dtype
-    ncol, nlev = c.colh2o.shape
-    trop = c.tropo[..., None]
-    f00, f10, f01, f11 = c.fac00_sw, c.fac10_sw, c.fac01_sw, c.fac11_sw
+    dtype = c2.colh2o.dtype
+    ncol, nlev = c2.colh2o.shape
+    n = ncol * nlev
+
+    # flattened per-cell fields for section building
+    fl = lambda x: x.reshape(-1)
+    trop2 = c2.tropo
+    trop = fl(trop2)
+    tropf = trop.astype(dtype)
+    stratf = 1.0 - tropf
+    jp, jt, jt1 = fl(c2.jp), fl(c2.jt), fl(c2.jt1)
+    f00, f10 = fl(c2.fac00_sw), fl(c2.fac10_sw)
+    f01, f11 = fl(c2.fac01_sw), fl(c2.fac11_sw)
+    colmol = fl(c2.colmol)
+
+    def ev(secs):
+        return eval_sections(secs, n, use_pallas=use_pallas, dtype=dtype)
+
+    def self_for_sections(band, gate_for_strat):
+        """Self (tropo) + foreign continuum sections for a band."""
+        selfref = np.asarray(t[f"sw{band}_selfref"])
+        forref = np.asarray(t[f"sw{band}_forref"])
+        sf = tropf * fl(c2.selffac)
+        ff = fl(c2.forfac) * (1.0 if gate_for_strat else tropf)
+        indself, selffrac = fl(c2.indself), fl(c2.selffrac)
+        indfor, forfrac = fl(c2.indfor), fl(c2.forfrac)
+        return [
+            Section(selfref, [indself - 1, indself],
+                    [sf * (1.0 - selffrac), sf * selffrac]),
+            Section(forref, [indfor - 1, indfor],
+                    [ff * (1.0 - forfrac), ff * forfrac]),
+        ]
+
+    def eta_tropo_section(absa, col1_2d, col2_2d, strrat):
+        """Tropospheric 9-eta major lookup; also returns 2D (js, fs) for
+        the solar-source logic."""
+        speccomb2 = col1_2d + strrat * col2_2d
+        js2, fs2 = _eta(col1_2d, speccomb2, 8.0)
+        js, fs = fl(js2), fl(fs2)
+        sc = fl(speccomb2) * tropf
+        row0 = ((jp - 1) * 5 + (jt - 1)) * 9 + js
+        row1 = (jp * 5 + (jt1 - 1)) * 9 + js
+        rows, weights = [], []
+        for row, fa, fb in ((row0, f00, f10), (row1, f01, f11)):
+            r = jnp.where(trop, row, 0)
+            rows += [r, r + 9, r + 1, r + 10]
+            weights += [sc * (1.0 - fs) * fa, sc * (1.0 - fs) * fb,
+                        sc * fs * fa, sc * fs * fb]
+        return Section(np.asarray(absa), rows, weights), js2, fs2
+
+    def eta_strat_section(absb, col1_2d, col2_2d, strrat):
+        speccomb2 = col1_2d + strrat * col2_2d
+        js2, fs2 = _eta(col1_2d, speccomb2, 4.0)
+        js, fs = fl(js2), fl(fs2)
+        sc = fl(speccomb2) * stratf
+        row0 = ((jp - 13) * 5 + (jt - 1)) * 5 + js
+        row1 = ((jp - 12) * 5 + (jt1 - 1)) * 5 + js
+        rows, weights = [], []
+        for row, fa, fb in ((row0, f00, f10), (row1, f01, f11)):
+            r = jnp.where(trop, 0, row)
+            rows += [r, r + 5, r + 1, r + 6]
+            weights += [sc * (1.0 - fs) * fa, sc * (1.0 - fs) * fb,
+                        sc * fs * fa, sc * fs * fb]
+        return Section(np.asarray(absb), rows, weights), js2, fs2
+
+    def noeta_tropo_section(absa, col_2d):
+        w = fl(col_2d) * tropf
+        r0 = jnp.where(trop, (jp - 1) * 5 + (jt - 1), 0)
+        r1 = jnp.where(trop, jp * 5 + (jt1 - 1), 0)
+        return Section(np.asarray(absa), [r0, r0 + 1, r1, r1 + 1],
+                       [w * f00, w * f10, w * f01, w * f11])
+
+    def noeta_strat_section(absb, col_2d):
+        w = fl(col_2d) * stratf
+        r0 = jnp.where(trop, 0, (jp - 13) * 5 + (jt - 1))
+        r1 = jnp.where(trop, 0, (jp - 12) * 5 + (jt1 - 1))
+        return Section(np.asarray(absb), [r0, r0 + 1, r1, r1 + 1],
+                       [w * f00, w * f10, w * f01, w * f11])
+
+    def const_section(vec, weight):
+        tab = np.asarray(vec, np.float32)[None, :]
+        z = jnp.zeros_like(weight, dtype=jnp.int32)
+        return Section(tab, [z], [weight])
+
+    def rayl_const(band, ng_band):
+        """taur for a scalar rayleigh coefficient: (ng, N)."""
+        r = float(t[f"sw{band}_rayl"])
+        return jnp.broadcast_to((colmol * r)[None, :], (ng_band, n))
+
+    def rayl_per_g(raylc):
+        rc = jnp.asarray(raylc, dtype)
+        return rc[:, None] * colmol[None, :]
+
     taugs, taurs, sfluxes = [], [], []
 
-    def band_eta_tropo(absa, col1, col2, strrat):
-        speccomb = col1 + strrat * col2
-        js, fs = _eta(col1, speccomb, 8.0)
-        row0 = ((c.jp - 1) * 5 + (c.jt - 1)) * 9 + js
-        row1 = (c.jp * 5 + (c.jt1 - 1)) * 9 + js
-        tau = speccomb[..., None] * (
-            (1.0 - fs)[..., None] * (
-                f00[..., None] * _take(absa, row0)
-                + f10[..., None] * _take(absa, row0 + 9)
-                + f01[..., None] * _take(absa, row1)
-                + f11[..., None] * _take(absa, row1 + 9))
-            + fs[..., None] * (
-                f00[..., None] * _take(absa, row0 + 1)
-                + f10[..., None] * _take(absa, row0 + 10)
-                + f01[..., None] * _take(absa, row1 + 1)
-                + f11[..., None] * _take(absa, row1 + 10)))
-        return tau, js, fs
+    # ====================== band 16: h2o+ch4 / ch4 ========================
+    sec_a, js_a, fs_a = eta_tropo_section(t["sw16_absa"], c2.colh2o,
+                                          c2.colch4,
+                                          float(t["sw16_strrat1"]))
+    secs = [sec_a, noeta_strat_section(t["sw16_absb"], c2.colch4)]
+    secs += self_for_sections(16, gate_for_strat=False)
+    taugs.append(ev(secs))
+    ng16 = np.asarray(t["sw16_absa"]).shape[1]
+    taurs.append(rayl_const(16, ng16))
+    sfluxes.append(_sflux_1d(t["sw16_sfluxref"], ncol, dtype))
 
-    def band_eta_strat(absb, col1, col2, strrat):
-        speccomb = col1 + strrat * col2
-        js, fs = _eta(col1, speccomb, 4.0)
-        row0 = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + js
-        row1 = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + js
-        tau = speccomb[..., None] * (
-            (1.0 - fs)[..., None] * (
-                f00[..., None] * _take(absb, row0)
-                + f10[..., None] * _take(absb, row0 + 5)
-                + f01[..., None] * _take(absb, row1)
-                + f11[..., None] * _take(absb, row1 + 5))
-            + fs[..., None] * (
-                f00[..., None] * _take(absb, row0 + 1)
-                + f10[..., None] * _take(absb, row0 + 6)
-                + f01[..., None] * _take(absb, row1 + 1)
-                + f11[..., None] * _take(absb, row1 + 6)))
-        return tau, js, fs
-
-    def band_noeta(absa, absb, col_a, col_b):
-        r0a, r1a, r0b, r1b = _major_noeta_rows(c, 1, 1)
-        tau_a = col_a[..., None] * _interp2(absa, r0a, r1a,
-                                            f00, f10, f01, f11, 1)
-        if absb is None:
-            return tau_a, jnp.zeros_like(tau_a)
-        tau_b = col_b[..., None] * _interp2(absb, r0b, r1b,
-                                            f00, f10, f01, f11, 1)
-        return tau_a, tau_b
-
-    # ====================== band 16 (2600-3250): h2o+ch4 / ch4 ==========
-    tauself, taufor = _self_for(c, t["sw16_selfref"], t["sw16_forref"])
-    absa, absb = t["sw16_absa"], t["sw16_absb"]
-    tau_a, js, fs = band_eta_tropo(absa, c.colh2o, c.colch4,
-                                   float(t["sw16_strrat1"]))
-    r0a, r1a, r0b, r1b = _major_noeta_rows(c, 1, 1)
-    tau_b = c.colch4[..., None] * _interp2(absb, r0b, r1b,
-                                           f00, f10, f01, f11, 1)
-    taug = jnp.where(trop, tau_a + tauself + taufor, tau_b)
-    taur = (c.colmol * float(t["sw16_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_strat(c, int(t["sw16_layreffr"]))
-    sflux = _sflux_1d(t["sw16_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
-
-    # ====================== band 17: h2o+co2 / h2o+co2 ===================
-    tauself, taufor = _self_for(c, t["sw17_selfref"], t["sw17_forref"])
-    absa, absb = t["sw17_absa"], t["sw17_absb"]
+    # ====================== band 17: h2o+co2 / h2o+co2 ====================
     strrat = float(t["sw17_strrat"])
-    tau_a, js_a, fs_a = band_eta_tropo(absa, c.colh2o, c.colco2, strrat)
-    tau_b, js_b, fs_b = band_eta_strat(absb, c.colh2o, c.colco2, strrat)
-    taug = jnp.where(trop, tau_a + tauself + taufor, tau_b + taufor)
-    taur = (c.colmol * float(t["sw17_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_strat(c, int(t["sw17_layreffr"]))
-    sflux = _sflux_eta(t["sw17_sfluxref"], _at_layer(js_b, lay),
-                       _at_layer(fs_b, lay))
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    sec_a, _, _ = eta_tropo_section(t["sw17_absa"], c2.colh2o, c2.colco2,
+                                    strrat)
+    sec_b, js_b, fs_b = eta_strat_section(t["sw17_absb"], c2.colh2o,
+                                          c2.colco2, strrat)
+    secs = [sec_a, sec_b] + self_for_sections(17, gate_for_strat=True)
+    taugs.append(ev(secs))
+    taurs.append(rayl_const(17, np.asarray(t["sw17_absa"]).shape[1]))
+    lay = _laysolfr_strat(c2, int(t["sw17_layreffr"]))
+    sfluxes.append(_sflux_eta(t["sw17_sfluxref"], _at_layer(js_b, lay),
+                              _at_layer(fs_b, lay)))
 
-    # ====================== bands 18/19/21: eta tropo + (no)eta strat ====
+    # ====================== bands 18/19/21 ================================
     for band, col2_name, strat_eta in ((18, "colch4", False),
                                        (19, "colco2", False),
                                        (21, "colco2", True)):
         k = f"sw{band}"
-        tauself, taufor = _self_for(c, t[f"{k}_selfref"], t[f"{k}_forref"])
-        absa, absb = t[f"{k}_absa"], t[f"{k}_absb"]
         strrat = float(t[f"{k}_strrat"])
-        col2 = getattr(c, col2_name)
-        tau_a, js_a, fs_a = band_eta_tropo(absa, c.colh2o, col2, strrat)
+        col2 = getattr(c2, col2_name)
+        sec_a, js_a, fs_a = eta_tropo_section(t[f"{k}_absa"], c2.colh2o,
+                                              col2, strrat)
         if strat_eta:
-            tau_b, _, _ = band_eta_strat(absb, c.colh2o, col2, strrat)
-            tau_b = tau_b + taufor
+            sec_b, _, _ = eta_strat_section(t[f"{k}_absb"], c2.colh2o,
+                                            col2, strrat)
+            secs = [sec_a, sec_b] + self_for_sections(band, True)
         else:
-            r0a, r1a, r0b, r1b = _major_noeta_rows(c, 1, 1)
-            tau_b = col2[..., None] * _interp2(absb, r0b, r1b,
-                                               f00, f10, f01, f11, 1)
-        taug = jnp.where(trop, tau_a + tauself + taufor, tau_b)
-        taur = (c.colmol * float(t[f"{k}_rayl"]))[..., None] * jnp.ones(
-            (1, 1, absa.shape[1]), dtype)
-        lay = _laysolfr_tropo(c, int(t[f"{k}_layreffr"]))
-        sflux = _sflux_eta(t[f"{k}_sfluxref"], _at_layer(js_a, lay),
-                           _at_layer(fs_a, lay))
-        taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+            secs = [sec_a, noeta_strat_section(t[f"{k}_absb"], col2)]
+            secs += self_for_sections(band, False)
+        taugs.append(ev(secs))
+        taurs.append(rayl_const(band, np.asarray(t[f"{k}_absa"]).shape[1]))
+        lay = _laysolfr_tropo(c2, int(t[f"{k}_layreffr"]))
+        sfluxes.append(_sflux_eta(t[f"{k}_sfluxref"],
+                                  _at_layer(js_a, lay),
+                                  _at_layer(fs_a, lay)))
 
-    # ====================== band 20: h2o + ch4 cross-section =============
-    tauself, taufor = _self_for(c, t["sw20_selfref"], t["sw20_forref"])
-    absa, absb = t["sw20_absa"], t["sw20_absb"]
-    tau_a, tau_b = band_noeta(absa, absb, c.colh2o, c.colh2o)
-    absch4 = jnp.asarray(t["sw20_absch4"], dtype)
-    ch4_term = c.colch4[..., None] * absch4
-    taug = jnp.where(trop, tau_a + tauself + taufor + ch4_term,
-                     tau_b + taufor + ch4_term)
-    taur = (c.colmol * float(t["sw20_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_tropo(c, int(t["sw20_layreffr"]))
-    sflux = _sflux_1d(t["sw20_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
-    # (band 20 ordering: comes after 18/19 but before 21 in spectral
-    # order; reorder at the end)
+    # ====================== band 20: h2o + ch4 cross-section ==============
+    secs = [noeta_tropo_section(t["sw20_absa"], c2.colh2o),
+            noeta_strat_section(t["sw20_absb"], c2.colh2o)]
+    secs += self_for_sections(20, gate_for_strat=True)
+    secs.append(const_section(t["sw20_absch4"], fl(c2.colch4)))
+    taugs.append(ev(secs))
+    taurs.append(rayl_const(20, np.asarray(t["sw20_absa"]).shape[1]))
+    sfluxes.append(_sflux_1d(t["sw20_sfluxref"], ncol, dtype))
 
-    # ====================== band 22: h2o+o2 / o2 =========================
-    tauself, taufor = _self_for(c, t["sw22_selfref"], t["sw22_forref"])
-    absa, absb = t["sw22_absa"], t["sw22_absb"]
+    # ====================== band 22: h2o+o2 / o2 ==========================
     o2adj = 1.6
-    o2cont = (4.35e-4 * c.colo2 / (350.0 * 2.0))[..., None]
-    strrat = float(t["sw22_strrat"])
-    # speccomb = colh2o + o2adj*strrat*colo2 (srtm_taumol22.F90)
-    tau_a, js_a, fs_a = band_eta_tropo(absa, c.colh2o, o2adj * c.colo2,
-                                       strrat)
-    r0a, r1a, r0b, r1b = _major_noeta_rows(c, 1, 1)
-    tau_b = (c.colo2 * o2adj)[..., None] * _interp2(
-        absb, r0b, r1b, f00, f10, f01, f11, 1)
-    taug = jnp.where(trop, tau_a + tauself + taufor + o2cont,
-                     tau_b + o2cont)
-    taur = (c.colmol * float(t["sw22_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_tropo(c, int(t["sw22_layreffr"]))
-    sflux = _sflux_eta(t["sw22_sfluxref"], _at_layer(js_a, lay),
-                       _at_layer(fs_a, lay))
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    sec_a, js_a, fs_a = eta_tropo_section(t["sw22_absa"], c2.colh2o,
+                                          o2adj * c2.colo2,
+                                          float(t["sw22_strrat"]))
+    secs = [sec_a, noeta_strat_section(t["sw22_absb"], o2adj * c2.colo2)]
+    secs += self_for_sections(22, gate_for_strat=False)
+    ng22 = np.asarray(t["sw22_absa"]).shape[1]
+    o2cont = fl(4.35e-4 * c2.colo2 / (350.0 * 2.0))
+    secs.append(const_section(np.ones(ng22), o2cont))
+    taugs.append(ev(secs))
+    taurs.append(rayl_const(22, ng22))
+    lay = _laysolfr_tropo(c2, int(t["sw22_layreffr"]))
+    sfluxes.append(_sflux_eta(t["sw22_sfluxref"], _at_layer(js_a, lay),
+                              _at_layer(fs_a, lay)))
 
-    # ====================== band 23: h2o only, per-g rayleigh ============
-    tauself, taufor = _self_for(c, t["sw23_selfref"], t["sw23_forref"])
-    absa = t["sw23_absa"]
-    r0a, r1a, _, _ = _major_noeta_rows(c, 1, 1)
+    # ====================== band 23: h2o only, per-g rayleigh =============
     givfac = float(t["sw23_givfac"])
-    tau_a = c.colh2o[..., None] * (
-        givfac * _interp2(absa, r0a, r1a, f00, f10, f01, f11, 1))
-    taug = jnp.where(trop, tau_a + tauself + taufor, 0.0)
-    raylc = jnp.asarray(t["sw23_rayl"], dtype)
-    taur = c.colmol[..., None] * raylc
-    lay = _laysolfr_tropo(c, int(t["sw23_layreffr"]))
-    sflux = _sflux_1d(t["sw23_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    secs = [noeta_tropo_section(t["sw23_absa"], givfac * c2.colh2o)]
+    secs += self_for_sections(23, gate_for_strat=False)
+    taugs.append(ev(secs))
+    taurs.append(rayl_per_g(t["sw23_rayl"]))
+    sfluxes.append(_sflux_1d(t["sw23_sfluxref"], ncol, dtype))
 
-    # ====================== band 24: h2o+o2 / o2, o3 cross-sections ======
-    tauself, taufor = _self_for(c, t["sw24_selfref"], t["sw24_forref"])
-    absa, absb = t["sw24_absa"], t["sw24_absb"]
+    # ====================== band 24: h2o+o2 / o2, o3 & rayleigh eta =======
     strrat = float(t["sw24_strrat"])
-    tau_a, js_a, fs_a = band_eta_tropo(absa, c.colh2o, c.colo2, strrat)
-    abso3a = jnp.asarray(t["sw24_abso3a"], dtype)
-    abso3b = jnp.asarray(t["sw24_abso3b"], dtype)
-    r0a, r1a, r0b, r1b = _major_noeta_rows(c, 1, 1)
-    tau_b = c.colo2[..., None] * _interp2(absb, r0b, r1b,
-                                          f00, f10, f01, f11, 1)
-    taug = jnp.where(trop,
-                     tau_a + tauself + taufor
-                     + c.colo3[..., None] * abso3a,
-                     tau_b + c.colo3[..., None] * abso3b)
-    rayla = jnp.asarray(t["sw24_rayla"], dtype).T  # (9, ng)
-    raylb = jnp.asarray(t["sw24_raylb"], dtype)
-    taur_a = c.colmol[..., None] * _lin(rayla, js_a, fs_a)
-    taur_b = c.colmol[..., None] * raylb
-    taur = jnp.where(trop, taur_a, taur_b)
-    lay = _laysolfr_tropo(c, int(t["sw24_layreffr"]))
-    sflux = _sflux_eta(t["sw24_sfluxref"], _at_layer(js_a, lay),
-                       _at_layer(fs_a, lay))
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    sec_a, js_a, fs_a = eta_tropo_section(t["sw24_absa"], c2.colh2o,
+                                          c2.colo2, strrat)
+    secs = [sec_a, noeta_strat_section(t["sw24_absb"], c2.colo2)]
+    secs += self_for_sections(24, gate_for_strat=False)
+    secs.append(const_section(t["sw24_abso3a"], tropf * fl(c2.colo3)))
+    secs.append(const_section(t["sw24_abso3b"], stratf * fl(c2.colo3)))
+    taugs.append(ev(secs))
+    rayla = np.asarray(t["sw24_rayla"], np.float32).T  # (9, ng)
+    js_f, fs_f = fl(js_a), fl(fs_a)
+    wmol = tropf * colmol
+    taur24 = ev([
+        Section(rayla, [js_f, js_f + 1],
+                [wmol * (1.0 - fs_f), wmol * fs_f]),
+        const_section(t["sw24_raylb"], stratf * colmol),
+    ])
+    taurs.append(taur24)
+    lay = _laysolfr_tropo(c2, int(t["sw24_layreffr"]))
+    sfluxes.append(_sflux_eta(t["sw24_sfluxref"], _at_layer(js_a, lay),
+                              _at_layer(fs_a, lay)))
 
-    # ====================== band 25: h2o + o3 cross-sections =============
-    absa = t["sw25_absa"]
-    r0a, r1a, _, _ = _major_noeta_rows(c, 1, 1)
-    tau_a = c.colh2o[..., None] * _interp2(absa, r0a, r1a,
-                                           f00, f10, f01, f11, 1)
-    abso3a = jnp.asarray(t["sw25_abso3a"], dtype)
-    abso3b = jnp.asarray(t["sw25_abso3b"], dtype)
-    taug = jnp.where(trop, tau_a + c.colo3[..., None] * abso3a,
-                     c.colo3[..., None] * abso3b)
-    raylc = jnp.asarray(t["sw25_rayl"], dtype)
-    taur = c.colmol[..., None] * raylc
-    lay = _laysolfr_tropo(c, int(t["sw25_layreffr"]))
-    sflux = _sflux_1d(t["sw25_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    # ====================== band 25: h2o + o3 cross-sections ==============
+    secs = [noeta_tropo_section(t["sw25_absa"], c2.colh2o),
+            const_section(t["sw25_abso3a"], tropf * fl(c2.colo3)),
+            const_section(t["sw25_abso3b"], stratf * fl(c2.colo3))]
+    taugs.append(ev(secs))
+    taurs.append(rayl_per_g(t["sw25_rayl"]))
+    sfluxes.append(_sflux_1d(t["sw25_sfluxref"], ncol, dtype))
 
-    # ====================== band 26: pure rayleigh =======================
+    # ====================== band 26: pure rayleigh ========================
     ng26 = len(np.asarray(t["sw26_sfluxref"]))
-    taug = jnp.zeros((ncol, nlev, ng26), dtype)
-    raylc = jnp.asarray(t["sw26_rayl"], dtype)
-    taur = c.colmol[..., None] * raylc
-    sflux = _sflux_1d(t["sw26_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    taugs.append(jnp.zeros((ng26, n), dtype))
+    taurs.append(rayl_per_g(t["sw26_rayl"]))
+    sfluxes.append(_sflux_1d(t["sw26_sfluxref"], ncol, dtype))
 
     # ====================== band 27: o3 ===================================
-    absa, absb = t["sw27_absa"], t["sw27_absb"]
-    tau_a, tau_b = band_noeta(absa, absb, c.colo3, c.colo3)
-    taug = jnp.where(trop, tau_a, tau_b)
-    raylc = jnp.asarray(t["sw27_rayl"], dtype)
-    taur = c.colmol[..., None] * raylc
-    lay = _laysolfr_strat(c, int(t["sw27_layreffr"]))
-    sflux = float(t["sw27_scalekur"]) * _sflux_1d(t["sw27_sfluxref"],
-                                                  ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    secs = [noeta_tropo_section(t["sw27_absa"], c2.colo3),
+            noeta_strat_section(t["sw27_absb"], c2.colo3)]
+    taugs.append(ev(secs))
+    taurs.append(rayl_per_g(t["sw27_rayl"]))
+    sfluxes.append(float(t["sw27_scalekur"])
+                   * _sflux_1d(t["sw27_sfluxref"], ncol, dtype))
 
     # ====================== band 28: o3+o2 ================================
-    absa, absb = t["sw28_absa"], t["sw28_absb"]
     strrat = float(t["sw28_strrat"])
-    tau_a, js_a, fs_a = band_eta_tropo(absa, c.colo3, c.colo2, strrat)
-    tau_b, js_b, fs_b = band_eta_strat(absb, c.colo3, c.colo2, strrat)
-    taug = jnp.where(trop, tau_a, tau_b)
-    taur = (c.colmol * float(t["sw28_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_strat(c, int(t["sw28_layreffr"]))
-    sflux = _sflux_eta(t["sw28_sfluxref"], _at_layer(js_b, lay),
-                       _at_layer(fs_b, lay))
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    sec_a, _, _ = eta_tropo_section(t["sw28_absa"], c2.colo3, c2.colo2,
+                                    strrat)
+    sec_b, js_b, fs_b = eta_strat_section(t["sw28_absb"], c2.colo3,
+                                          c2.colo2, strrat)
+    taugs.append(ev([sec_a, sec_b]))
+    taurs.append(rayl_const(28, np.asarray(t["sw28_absa"]).shape[1]))
+    lay = _laysolfr_strat(c2, int(t["sw28_layreffr"]))
+    sfluxes.append(_sflux_eta(t["sw28_sfluxref"], _at_layer(js_b, lay),
+                              _at_layer(fs_b, lay)))
 
-    # ====================== band 29: h2o / co2 + cross-sections ==========
-    tauself, taufor = _self_for(c, t["sw29_selfref"], t["sw29_forref"])
-    absa, absb = t["sw29_absa"], t["sw29_absb"]
-    tau_a, tau_b = band_noeta(absa, absb, c.colh2o, c.colco2)
-    absh2o = jnp.asarray(t["sw29_absh2o"], dtype)
-    absco2 = jnp.asarray(t["sw29_absco2"], dtype)
-    taug = jnp.where(trop,
-                     tau_a + tauself + taufor
-                     + c.colco2[..., None] * absco2,
-                     tau_b + c.colh2o[..., None] * absh2o)
-    taur = (c.colmol * float(t["sw29_rayl"]))[..., None] * jnp.ones(
-        (1, 1, absa.shape[1]), dtype)
-    lay = _laysolfr_strat(c, int(t["sw29_layreffr"]))
-    sflux = _sflux_1d(t["sw29_sfluxref"], ncol, dtype)
-    taugs.append(taug), taurs.append(taur), sfluxes.append(sflux)
+    # ====================== band 29: h2o / co2 + cross-sections ===========
+    secs = [noeta_tropo_section(t["sw29_absa"], c2.colh2o),
+            noeta_strat_section(t["sw29_absb"], c2.colco2)]
+    secs += self_for_sections(29, gate_for_strat=False)
+    secs.append(const_section(t["sw29_absco2"], tropf * fl(c2.colco2)))
+    secs.append(const_section(t["sw29_absh2o"], stratf * fl(c2.colh2o)))
+    taugs.append(ev(secs))
+    taurs.append(rayl_const(29, np.asarray(t["sw29_absa"]).shape[1]))
+    sfluxes.append(_sflux_1d(t["sw29_sfluxref"], ncol, dtype))
 
-    # Assemble in band order 16..29. The loop above appended in order:
-    # 16, 17, 18, 19, 21, 20, 22, 23, 24, 25, 26, 27, 28, 29 — reorder.
+    # Assemble in band order 16..29 (loop appended 21 before 20; reorder)
     order = [0, 1, 2, 3, 5, 4, 6, 7, 8, 9, 10, 11, 12, 13]
-    taug = jnp.concatenate([taugs[i] for i in order], axis=-1)
-    taur = jnp.concatenate([taurs[i] for i in order], axis=-1)
+    taug = jnp.concatenate([taugs[i] for i in order], axis=0)
+    taur = jnp.concatenate([taurs[i] for i in order], axis=0)
     sflux = jnp.concatenate([sfluxes[i] for i in order], axis=-1)
+    taug = taug.reshape(112, ncol, nlev).transpose(1, 2, 0)
+    taur = taur.reshape(112, ncol, nlev).transpose(1, 2, 0)
     return taug, taur, sflux

@@ -1,13 +1,18 @@
-"""Adding method for independent-column radiative transfer, as parallel
-prefix scans.
+"""Adding method for independent-column radiative transfer.
 
 Reference parity: radiation/radiation_adding_ica_sw.F90:24-147 and
 radiation_adding_ica_lw.F90:32-324. The reference's three sequential
 level loops (direct-beam descent, albedo/source ascent, flux descent) are
-first-order linear (or Moebius) recurrences; here each becomes a
-`jax.lax.associative_scan` over the level axis so the level dimension no
-longer serializes the TPU. A sequential `lax.scan` fallback is provided
-for verification (`method='sequential'`).
+first-order linear (or Moebius) recurrences. Two implementations:
+
+- `method='sequential'` (default): `jax.lax.scan` over levels carrying an
+  (ncol, ng) state. For realistic level counts (~137) this is the fastest
+  on TPU — each step is one fused VPU pass and the scan overhead is small
+  — and it is numerically the reference's own recurrence.
+- `method='scan'`: `jax.lax.associative_scan` (parallel prefix over 2x2
+  Moebius / affine transfer operators). O(log nlev) depth but ~2.5x more
+  memory traffic; retained for very deep grids and as an independent
+  cross-check of the recurrences (see tests/test_adding.py).
 
 All arrays are (..., nlev[+1], ng)-shaped with the level axis at -2,
 TOA first (ecRad orientation).
@@ -89,7 +94,7 @@ def _moebius_scan_albedo(ref, trans, albedo_surf, axis):
 # ---------------------------------------------------------------------------
 
 def adding_lw(reflectance, transmittance, source_up, source_dn,
-              emission_surf, albedo_surf, method="scan"):
+              emission_surf, albedo_surf, method="sequential"):
     """Full LW adding with scattering.
 
     reflectance/transmittance/source_up/source_dn: (..., nlev, ng),
@@ -158,19 +163,43 @@ def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
     return flux_up, flux_dn
 
 
+def _affine_seq(a, b, x0, reverse=False):
+    """Sequential counterpart of _affine_scan (lax.scan over levels)."""
+    axis = -2
+    a_s = jnp.moveaxis(a, axis, 0)
+    b_s = jnp.moveaxis(b, axis, 0)
+    if reverse:
+        a_s = jnp.flip(a_s, 0)
+        b_s = jnp.flip(b_s, 0)
+
+    def body(x, ab):
+        ak, bk = ab
+        x_next = ak * x + bk
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(body, x0, (a_s, b_s))
+    x = jnp.concatenate([x0[None], xs], axis=0)
+    if reverse:
+        x = jnp.flip(x, 0)
+    return jnp.moveaxis(x, 0, axis)
+
+
 def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
-                            emission_surf, albedo_surf):
+                            emission_surf, albedo_surf,
+                            method="sequential"):
     """No-scattering LW fluxes: down then up
     (radiation_adding_ica_lw.F90:272-324)."""
     axis = -2
+    affine = _affine_seq if method == "sequential" else (
+        lambda a, b, x0, reverse=False: _affine_scan(a, b, x0, axis,
+                                                     reverse=reverse))
     zero = jnp.zeros_like(emission_surf)
     # down: fd_{j+1} = T_j fd_j + Sd_j
-    flux_dn = _affine_scan(transmittance, source_dn, zero, axis)
+    flux_dn = affine(transmittance, source_dn, zero)
     # up from surface: fu_surf = emission + albedo*fd_surf;
     # fu_j = T_j fu_{j+1} + Su_j
     fu_surf = emission_surf + albedo_surf * flux_dn[..., -1, :]
-    flux_up = _affine_scan(transmittance, source_up, fu_surf, axis,
-                           reverse=True)
+    flux_up = affine(transmittance, source_up, fu_surf, reverse=True)
     return flux_up, flux_dn
 
 
@@ -180,7 +209,7 @@ def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
 
 def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
               trans_dir_dir, incoming_toa, albedo_surf_diffuse,
-              albedo_surf_direct, cos_sza, method="scan"):
+              albedo_surf_direct, cos_sza, method="sequential"):
     """SW adding. All layer quantities (..., nlev, ng); incoming_toa and
     albedos (..., ng); cos_sza (...,) per-column.
 
@@ -192,6 +221,11 @@ def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
     axis = -2
     cs = jnp.asarray(cos_sza)[..., None]  # (..., 1) vs g axis
     zero = jnp.zeros_like(incoming_toa)
+    if method == "sequential":
+        return _adding_sw_sequential(
+            reflectance, transmittance, ref_dir, trans_dir_diff,
+            trans_dir_dir, incoming_toa, albedo_surf_diffuse,
+            albedo_surf_direct, cs)
     # 1) direct beam descent: fdir_{j+1} = t_dir_j fdir_j
     flux_dn_direct = _affine_scan(trans_dir_dir,
                                   jnp.zeros_like(trans_dir_dir),
@@ -217,3 +251,60 @@ def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
     flux_up = albedo * flux_dn_diffuse + source
     flux_dn_direct = flux_dn_direct * cs[..., None, :]
     return flux_up, flux_dn_diffuse, flux_dn_direct
+
+
+def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
+                          trans_dir_dir, incoming_toa, albedo_diffuse,
+                          albedo_direct, cs):
+    """Three lax.scan sweeps, the reference's own loop structure
+    (radiation_adding_ica_sw.F90:85-143)."""
+    axis = -2
+    mv = lambda x: jnp.moveaxis(x, axis, 0)     # (nlev, ..., ng)
+
+    # 1) direct beam descent
+    def dir_body(fd, tdd):
+        fd_next = tdd * fd
+        return fd_next, fd_next
+
+    _, fdir_rest = jax.lax.scan(dir_body, incoming_toa, mv(trans_dir_dir))
+    flux_dn_direct = jnp.concatenate([incoming_toa[None], fdir_rest], 0)
+    fdir_top = flux_dn_direct[:-1]              # entering each layer
+
+    # 2) albedo & source ascent
+    source_surf = albedo_direct * flux_dn_direct[-1] * cs
+
+    def up_body(carry, x):
+        albedo_below, source_below = carry
+        r, t, rd, tdd, fdt = x
+        inv_denom = 1.0 / (1.0 - albedo_below * r)
+        albedo = r + t * t * albedo_below * inv_denom
+        source = (rd * fdt
+                  + t * (source_below + albedo_below * tdd * fdt)
+                  * inv_denom)
+        return (albedo, source), (albedo, source, inv_denom)
+
+    xs = tuple(jnp.flip(v, 0) for v in (mv(ref), mv(trans), mv(ref_dir),
+                                        mv(trans_dir_diff), fdir_top))
+    (_, _), (alb_r, src_r, invd_r) = jax.lax.scan(
+        up_body, (albedo_diffuse, source_surf), xs)
+    albedo = jnp.concatenate([jnp.flip(alb_r, 0),
+                              albedo_diffuse[None]], 0)
+    source = jnp.concatenate([jnp.flip(src_r, 0), source_surf[None]], 0)
+    inv_denom = jnp.flip(invd_r, 0)
+
+    # 3) diffuse flux descent
+    def dn_body(fd, x):
+        t, r, tdd, fdt, s_below, invd = x
+        fd_next = (t * fd + r * s_below + tdd * fdt) * invd
+        return fd_next, fd_next
+
+    xs2 = (mv(trans), mv(ref), mv(trans_dir_diff), fdir_top,
+           source[1:], inv_denom)
+    zero = jnp.zeros_like(incoming_toa)
+    _, fd_rest = jax.lax.scan(dn_body, zero, xs2)
+    flux_dn_diffuse = jnp.concatenate([zero[None], fd_rest], 0)
+    flux_up = albedo * flux_dn_diffuse + source
+
+    back = lambda x: jnp.moveaxis(x, 0, axis)
+    return (back(flux_up), back(flux_dn_diffuse),
+            back(flux_dn_direct) * cs[..., None, :])
