@@ -1,10 +1,18 @@
 """Profiling scopes: the Dr Hook analogue.
 
 Reference parity: drhook/ (the IFS profiler that brackets every routine
-with dr_hook(name, 0/1, handle), zero-cost when off). The TPU-native
-equivalent is jax.named_scope (annotates the XLA HLO so scopes show in
-the JAX profiler / xprof traces) plus an optional wall-clock accumulator
-for eager timing. Controlled by ECRAD_HOOK=1 — zero overhead otherwise.
+with dr_hook(name, 0/1, handle), zero-cost when off; C core
+drhook/drhook/drhook.c). Two layers here:
+
+ - jax.named_scope annotation (always on): labels the XLA HLO so scopes
+   appear in JAX profiler / xprof traces — the device-side story.
+ - the native C++ core (native/ecrhook.cc via utils/native.py) when
+   ECRAD_HOOK=1: per-thread call-stack accounting with wall/CPU self and
+   total time, peak RSS, and fatal-signal hook-stack dumps — the
+   host-side story, matching Dr Hook's profile output. Falls back to a
+   pure-Python accumulator when no compiler is available.
+
+Controlled by ECRAD_HOOK=1 — near-zero overhead otherwise.
 """
 from __future__ import annotations
 
@@ -22,6 +30,13 @@ _accum: Dict[str, float] = defaultdict(float)
 _counts: Dict[str, int] = defaultdict(int)
 
 
+def _native():
+    if not LHOOK:
+        return None
+    from .native import hook_lib
+    return hook_lib()
+
+
 @contextlib.contextmanager
 def hook(name: str):
     """Named scope for traces; accumulates wall time when ECRAD_HOOK=1.
@@ -33,6 +48,15 @@ def hook(name: str):
         with jax.named_scope(name):
             yield
         return
+    lib = _native()
+    if lib is not None:
+        lib.ecr_hook_enter(name.encode())
+        try:
+            with jax.named_scope(name):
+                yield
+        finally:
+            lib.ecr_hook_exit(name.encode())
+        return
     t0 = time.perf_counter()
     with jax.named_scope(name):
         yield
@@ -40,8 +64,39 @@ def hook(name: str):
     _counts[name] += 1
 
 
+def install_signal_handlers() -> bool:
+    """Install Dr Hook-style fatal-signal handlers that dump the active
+    hook stack (drhook.c signal machinery). Returns True if the native
+    core is available."""
+    from .native import hook_lib
+    lib = hook_lib()
+    if lib is None:
+        return False
+    lib.ecr_hook_install_signals()
+    return True
+
+
 def profile_report() -> str:
     """Dr Hook-style profile summary (drhook_merge_walltime analogue)."""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+        cap = 512
+        names = ctypes.create_string_buffer(cap * 64)
+        calls = (ctypes.c_long * cap)()
+        tw = (ctypes.c_double * cap)()
+        sw = (ctypes.c_double * cap)()
+        tc = (ctypes.c_double * cap)()
+        rss = (ctypes.c_long * cap)()
+        n = lib.ecr_hook_report(names, calls, tw, sw, tc, rss, cap)
+        lines = ["name                                     calls"
+                 "   total(s)    self(s)     cpu(s)  maxrss(MB)"]
+        for i in range(n):
+            nm = names.raw[i * 64:(i + 1) * 64].split(b"\0")[0].decode()
+            lines.append(f"{nm:40s} {calls[i]:6d} {tw[i]:10.4f} "
+                         f"{sw[i]:10.4f} {tc[i]:10.4f} "
+                         f"{rss[i] / 1024.0:10.1f}")
+        return "\n".join(lines)
     lines = ["name                                      calls   walltime"]
     for name, t in sorted(_accum.items(), key=lambda kv: -kv[1]):
         lines.append(f"{name:40s} {_counts[name]:7d} {t:10.4f}s")
@@ -49,6 +104,9 @@ def profile_report() -> str:
 
 
 def reset_profile() -> None:
+    lib = _native()
+    if lib is not None:
+        lib.ecr_hook_reset()
     _accum.clear()
     _counts.clear()
 

@@ -145,6 +145,24 @@ class FortranData:
 # ---------------------------------------------------------------------------
 
 def read_fortran_records(path: str):
+    """Read all sequential records as float64 arrays.
+
+    Uses the native loader (native/fortread.cc via
+    ecrad_tpu.utils.native.FortranFile) when built; pure-Python
+    otherwise. Both implement the same framing the reference's Fortran
+    READ relies on (4-byte big-endian record markers)."""
+    try:
+        from ecrad_tpu.utils.native import FortranFile
+        records = []
+        with FortranFile(path) as f:
+            while True:
+                try:
+                    records.append(f.read_f64())
+                except EOFError:
+                    break
+        return records
+    except ImportError:
+        pass
     records = []
     with open(path, "rb") as f:
         while True:
