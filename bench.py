@@ -67,7 +67,10 @@ def main():
                           **kwargs)
     setup = setup_radiation(cfg)
 
-    factor = int(os.environ.get("ECRAD_BENCH_TILE", "64"))  # 2048 columns
+    # 2048 columns by default; SPARTACUS stores per-layer region-coupled
+    # matrices ((nlev, 3, 3, ncol, ng) histories) so it benches at 512
+    default_tile = "16" if solver == "SPARTACUS" else "64"
+    factor = int(os.environ.get("ECRAD_BENCH_TILE", default_tile))
     batch = tile_columns((sl, thermo, gas, cloud, aer), factor)
     ncol = batch[0].cos_sza.shape[0]
 

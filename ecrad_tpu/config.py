@@ -309,6 +309,9 @@ class DriverConfig:
     # Scalings / overrides
     fractional_std: float = 0.0
     overlap_decorr_length: float = 0.0
+    # Scale the overlap decorrelation length by raising the overlap
+    # parameter to 1/scaling (ecrad_driver_read_input.F90:213-227)
+    overlap_decorr_length_scaling: float = -1.0
     high_inv_effective_size: float = 0.0
     middle_inv_effective_size: float = 0.0
     low_inv_effective_size: float = 0.0
@@ -452,6 +455,22 @@ _TUPLE_FIELDS = (
     "i_aerosol_type_map", "sw_albedo_wavelength_bound",
     "lw_emiss_wavelength_bound", "i_sw_albedo_index", "i_lw_emiss_index",
 )
+
+
+def describe_config(cfg: RadiationConfig) -> str:
+    """Human-readable configuration listing (print_config,
+    radiation_config.F90:1127): every field with its value, enums by
+    name."""
+    from dataclasses import fields as dc_fields
+    lines = ["Configuration:"]
+    for f in dc_fields(cfg):
+        if f.name.startswith("_"):
+            continue
+        val = getattr(cfg, f.name)
+        if hasattr(val, "name"):
+            val = val.name
+        lines.append(f"  {f.name:42s} = {val}")
+    return "\n".join(lines)
 
 
 def load_config_from_namelist(path_or_text: str,

@@ -76,9 +76,12 @@ def main(argv=None):
 
     if driver_config.iverbose >= 2:
         print(f"Reading {args.input_nc}")
-    single_level, thermo, gas, cloud, aerosol = read_input(
-        args.input_nc, driver_config)
+    single_level, thermo, gas, cloud, aerosol, is_reversed = read_input(
+        args.input_nc, driver_config, return_orientation=True)
     ncol = single_level.ncol
+    if is_reversed and driver_config.iverbose >= 2:
+        print("Input arrays ordered by increasing height: flipping "
+              "(radiation_interface.F90:283-290)")
 
     # Complex (tiled) surface? (driver/ecrad_driver.F90:184-196)
     from .surface import read_surface, print_surface_representation
@@ -139,6 +142,23 @@ def main(argv=None):
     if driver_config.iverbose >= 2:
         print("Setting up radiation scheme")
     setup = setup_radiation(config)
+    if getattr(config, "iverbosesetup", 0) >= 3:
+        from .config import describe_config
+        print(describe_config(setup.config))
+
+    if driver_config.do_save_inputs:
+        from .io.output import save_inputs
+        save_inputs("inputs.nc", single_level, thermo, gas, cloud,
+                    aerosol)
+        if driver_config.iverbose >= 2:
+            print("Wrote inputs.nc")
+
+    if config.do_save_radiative_properties:
+        from .io.output import save_radiative_properties
+        save_radiative_properties("radiative_properties.nc", setup,
+                                  single_level, thermo, gas)
+        if driver_config.iverbose >= 2:
+            print("Wrote radiative_properties.nc")
 
     # shard columns across local devices (pure data parallelism)
     if driver_config.do_parallel and len(jax.devices()) > 1:
@@ -193,6 +213,18 @@ def main(argv=None):
     from .utils.checks import validate_fluxes
     for msg in validate_fluxes(flux):
         print(f"Warning: output {msg}")
+
+    if is_reversed:
+        # return fluxes in the caller's (height-increasing) orientation
+        # (radiation_reverse, radiation_interface.F90:475-617)
+        flux = jax.tree.map(
+            lambda x: (jnp.flip(x, axis=1)
+                       if hasattr(x, "ndim") and x.ndim >= 2
+                       and x.shape[1] in (thermo.nlev, thermo.nlev + 1)
+                       else x), flux)
+        thermo = thermo.replace(
+            pressure_hl=jnp.flip(thermo.pressure_hl, axis=1),
+            temperature_hl=jnp.flip(thermo.temperature_hl, axis=1))
 
     if driver_config.iverbose >= 2:
         print(f"Writing {args.output_nc}")

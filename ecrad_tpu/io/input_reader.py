@@ -18,7 +18,8 @@ from ..types import Aerosol, Cloud, GasConcs, SingleLevel, Thermodynamics
 from .netcdf import NetcdfFile
 
 
-def read_input(path: str, driver_config: Optional[DriverConfig] = None
+def read_input(path: str, driver_config: Optional[DriverConfig] = None,
+               return_orientation: bool = False
                ) -> Tuple[SingleLevel, Thermodynamics, GasConcs, Cloud,
                           Aerosol]:
     dc = driver_config or DriverConfig()
@@ -28,6 +29,25 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None
     temperature_hl = f.read("temperature_hl")
     ncol, nlevp1 = pressure_hl.shape
     nlev = nlevp1 - 1
+
+    # Reversed (height-increasing) input: the reference flips the level
+    # axis, runs normally and flips fluxes back
+    # (radiation_interface.F90:283-290, radiation_reverse :475-617). The
+    # orientation check is host-side data, so the flip happens here at
+    # ingest; the driver flips the output fluxes back (is_reversed).
+    is_reversed = bool(pressure_hl[0, 1] < pressure_hl[0, 0])
+
+    def orient(arr, level_axis=1, nlev_expected=None):
+        if not is_reversed or arr is None or np.ndim(arr) <= level_axis:
+            return arr
+        n = np.shape(arr)[level_axis]
+        if nlev_expected is not None and n not in (nlev, nlev + 1,
+                                                   nlev - 1):
+            return arr
+        return np.flip(arr, axis=level_axis)
+
+    pressure_hl = orient(pressure_hl)
+    temperature_hl = orient(temperature_hl)
 
     # ---- single level -----------------------------------------------------
     cos_sza, _ = f.read_any(["cos_solar_zenith_angle", "cos_sza"])
@@ -104,6 +124,8 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None
         data, found = f.read_any(candidates)
         if data is None:
             continue
+        if np.ndim(data) == 2:
+            data = orient(data)
         data = jnp.asarray(data, jnp.float32)
         if found.endswith("_vmr"):
             gas = gas.put_vmr(name, data)
@@ -120,15 +142,21 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None
     re_liq, _ = f.read_any(["re_liquid"], np.full((ncol, nlev), 10e-6))
     re_ice, _ = f.read_any(["re_ice"], np.full((ncol, nlev), 50e-6))
     frac, _ = f.read_any(["cloud_fraction"], np.zeros((ncol, nlev)))
+    q_liq, q_ice, re_liq, re_ice, frac = (
+        orient(q_liq), orient(q_ice), orient(re_liq), orient(re_ice),
+        orient(frac))
     if dc.cloud_fraction_override >= 0.0:
         frac = np.where(np.asarray(frac) > 0.0,
                         dc.cloud_fraction_override, 0.0)
     fsd, _ = f.read_any(["fractional_std"])
+    fsd = orient(fsd)
     if dc.fractional_std > 0.0:
         fsd = np.full((ncol, nlev), dc.fractional_std)
     overlap, _ = f.read_any(["overlap_param"])
+    overlap = orient(overlap)
     inv_eff, _ = f.read_any(["inv_cloud_effective_size"])
     inv_inhom, _ = f.read_any(["inv_inhom_effective_size"])
+    inv_eff, inv_inhom = orient(inv_eff), orient(inv_inhom)
     if dc.high_inv_effective_size > 0.0 or dc.effective_size_scaling > 0.0:
         pass  # handled by driver-level overrides later
     cloud = Cloud(
@@ -149,15 +177,29 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None
     if dc.overlap_decorr_length > 0.0:
         cloud = cloud.set_overlap_param(thermodynamics,
                                         dc.overlap_decorr_length)
+    elif cloud.overlap_param is not None and \
+            dc.overlap_decorr_length_scaling > 0.0:
+        # alpha -> alpha^(1/scaling) (ecrad_driver_read_input.F90:213-221)
+        op = cloud.overlap_param
+        cloud = cloud.replace(overlap_param=jnp.where(
+            op > 0.0, op ** (1.0 / dc.overlap_decorr_length_scaling), op))
+    elif cloud.overlap_param is not None and \
+            dc.overlap_decorr_length_scaling == 0.0:
+        cloud = cloud.replace(
+            overlap_param=jnp.zeros_like(cloud.overlap_param))
 
     # ---- aerosol ----------------------------------------------------------
     aer_mmr, _ = f.read_any(["aerosol_mmr"])
     if aer_mmr is not None:
         # stored (col, type, lev) -> (col, lev, type)
-        aer_mmr = jnp.asarray(np.transpose(aer_mmr, (0, 2, 1)), jnp.float32)
+        aer_mmr = orient(np.transpose(aer_mmr, (0, 2, 1)))
+        aer_mmr = jnp.asarray(aer_mmr, jnp.float32)
         aerosol = Aerosol(mixing_ratio=aer_mmr, istartlev=0, iendlev=nlev)
     else:
         aerosol = Aerosol(mixing_ratio=jnp.zeros((ncol, nlev, 1),
                                                  jnp.float32))
     f.close()
-    return single_level, thermodynamics, gas, cloud, aerosol
+    out = (single_level, thermodynamics, gas, cloud, aerosol)
+    if return_orientation:
+        return out + (is_reversed,)
+    return out

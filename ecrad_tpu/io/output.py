@@ -88,6 +88,94 @@ def save_fluxes(path: str, flux: Flux,
                                "Radiative fluxes from ecRad-TPU"})
 
 
+def save_inputs(path: str, single_level, thermo, gas, cloud,
+                aerosol) -> None:
+    """Dump the scheme's inputs (driver do_save_inputs;
+    radiation_save.F90:719 save_inputs) with the standard names, so the
+    file can be fed back into the driver."""
+    from ..constants import GAS_NAMES
+    dims = {}
+    variables = {}
+
+    def add(name, dims_needed, data):
+        if data is None:
+            return
+        data = np.asarray(data)
+        for dname, dlen in zip(dims_needed, data.shape):
+            dims.setdefault(dname, dlen)
+        variables[name] = (dims_needed, data.astype(np.float32))
+
+    add("pressure_hl", ("column", "half_level"), thermo.pressure_hl)
+    add("temperature_hl", ("column", "half_level"), thermo.temperature_hl)
+    add("cos_solar_zenith_angle", ("column",), single_level.cos_sza)
+    add("skin_temperature", ("column",), single_level.skin_temperature)
+    add("sw_albedo", ("column", "sw_albedo_band"), single_level.sw_albedo)
+    add("lw_emissivity", ("column", "lw_emiss_band"),
+        single_level.lw_emissivity)
+    cl = ("column", "level")
+    for name in GAS_NAMES:
+        field = np.asarray(gas.get(name))
+        if np.any(field != 0.0):
+            add(f"{name}_mmr" if name != "h2o" else "q", cl, field)
+    add("cloud_fraction", cl, cloud.fraction)
+    add("q_liquid", cl, cloud.q_liq)
+    add("q_ice", cl, cloud.q_ice)
+    add("re_liquid", cl, cloud.re_liq)
+    add("re_ice", cl, cloud.re_ice)
+    add("fractional_std", cl, cloud.fractional_std)
+    add("overlap_param", ("column", "level_interface"),
+        cloud.overlap_param)
+    add("inv_cloud_effective_size", cl, cloud.inv_cloud_effective_size)
+    if aerosol is not None and np.any(
+            np.asarray(aerosol.mixing_ratio) != 0.0):
+        add("aerosol_mmr", ("column", "level", "aerosol_type"),
+            aerosol.mixing_ratio)
+    write_netcdf(path, dims, variables,
+                 global_attrs={"title": "ecRad-TPU scheme inputs"})
+
+
+def save_radiative_properties(path: str, setup, single_level, thermo,
+                              gas) -> None:
+    """Dump the per-g-point radiative properties entering the solver
+    (do_save_radiative_properties; radiation_save.F90:411), the
+    intermediate the reference exposes for kernel-level validation."""
+    import jax
+
+    from ..interface import get_albedos
+    from ..optics.rrtmg.gas_optics import gas_optics
+    cfg = setup.config
+    _, _, lw_albedo = get_albedos(setup, single_level)
+    go = jax.jit(lambda p, t, m, s, c: gas_optics(
+        p, t, m, s, c, single_level.solar_irradiance, setup.spec,
+        tables=setup.tables, lw_albedo=lw_albedo,
+        min_gas_od_lw=cfg.min_gas_od_lw,
+        min_gas_od_sw=cfg.min_gas_od_sw))(
+        thermo.pressure_hl, thermo.temperature_hl, gas.mixing_ratio,
+        single_level.skin_temperature, single_level.cos_sza)
+    dims = {}
+    variables = {}
+
+    def add(name, dims_needed, data):
+        if data is None:
+            return
+        data = np.asarray(data)
+        for dname, dlen in zip(dims_needed, data.shape):
+            dims.setdefault(dname, dlen)
+        variables[name] = (dims_needed, data.astype(np.float32))
+
+    clg = ("column", "level", "g_lw")
+    csg = ("column", "level", "g_sw")
+    add("od_lw", clg, go.od_lw)
+    add("od_sw", csg, go.od_sw)
+    add("ssa_sw", csg, go.ssa_sw)
+    add("planck_hl", ("column", "half_level", "g_lw"), go.planck_hl)
+    add("lw_emission", ("column", "g_lw"), go.lw_emission)
+    add("incoming_sw", ("column", "g_sw"), go.incoming_sw)
+    write_netcdf(path, dims, variables,
+                 global_attrs={"title":
+                               "ecRad-TPU per-g radiative properties"})
+
+
 def save_surface_fluxes(path: str, surface_flux) -> None:
     """Write per-facet surface fluxes.
 

@@ -55,6 +55,116 @@ def expm(A):
     return jax.lax.fori_loop(0, _MAX_SQUARINGS, square_step, P)
 
 
+# ---------------------------------------------------------------------------
+# Leading-matrix-dims ("g-minor") variants.
+#
+# TPU tiling pads the two minor axes of every array to (8, 128); arrays
+# shaped (..., 9, 9) therefore waste ~25x memory and bandwidth. For the
+# SPARTACUS solvers all matrix algebra instead uses matrices shaped
+# (m, n, *batch) with the large batch axes minor: elementwise VPU code
+# with no padding. The matmuls are 9x9x9 FMA chains per batch element —
+# far below MXU granularity anyway.
+# ---------------------------------------------------------------------------
+
+def mm_g(a, b):
+    """(m, k, *batch) @ (k, n, *batch) -> (m, n, *batch), unrolled."""
+    m, k = a.shape[:2]
+    n = b.shape[1]
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(n):
+            acc = a[i, 0] * b[0, j]
+            for p in range(1, k):
+                acc = acc + a[i, p] * b[p, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def mv_g(a, x):
+    """(m, k, *batch) @ (k, *batch) -> (m, *batch)."""
+    m, k = a.shape[:2]
+    rows = []
+    for i in range(m):
+        acc = a[i, 0] * x[0]
+        for p in range(1, k):
+            acc = acc + a[i, p] * x[p]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+def solve_g(A, B):
+    """Solve A X = B with A (m, m, *batch), B (m, n, *batch).
+
+    Gaussian elimination without pivoting, unrolled for static m —
+    matching the reference's unpivoted LU (radiation_matrix.F90
+    solve_mat/lu_factorization) which relies on the diagonal dominance
+    of the matrices SPARTACUS produces."""
+    m = A.shape[0]
+    n = B.shape[1]
+    a = [[A[i, j] for j in range(m)] for i in range(m)]
+    b = [[B[i, j] for j in range(n)] for i in range(m)]
+    for col in range(m):
+        inv = 1.0 / a[col][col]
+        for j in range(col + 1, m):
+            a[col][j] = a[col][j] * inv
+        for j in range(n):
+            b[col][j] = b[col][j] * inv
+        for row in range(col + 1, m):
+            f = a[row][col]
+            for j in range(col + 1, m):
+                a[row][j] = a[row][j] - f * a[col][j]
+            for j in range(n):
+                b[row][j] = b[row][j] - f * b[col][j]
+    for col in range(m - 1, -1, -1):
+        for row in range(col):
+            f = a[row][col]
+            for j in range(n):
+                b[row][j] = b[row][j] - f * b[col][j]
+    return jnp.stack([jnp.stack(b[i], axis=0) for i in range(m)], axis=0)
+
+
+def solve_vec_g(A, x):
+    """Solve A y = x with A (m, m, *batch), x (m, *batch)."""
+    return solve_g(A, x[:, None])[:, 0]
+
+
+def expm_g(A):
+    """Matrix exponential with leading matrix dims: A (m, m, *batch).
+
+    Same scaling-and-squaring Pade-7 as expm (radiation_matrix.F90
+    :1118-1216), in the padding-free layout."""
+    m = A.shape[0]
+    norm1 = jnp.abs(A).sum(axis=0).max(axis=0)     # (*batch,)
+    ratio = norm1 / _THETA3
+    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
+    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
+    As = A * jnp.exp2(-expo.astype(A.dtype))
+
+    A2 = mm_g(As, As)
+    A4 = mm_g(A2, A2)
+    A6 = mm_g(A2, A4)
+    eye_cols = [jnp.zeros_like(A[0, 0])] * m
+
+    def add_eye(M, c):
+        out = M
+        for i in range(m):
+            out = out.at[i, i].add(c)
+        return out
+
+    V = add_eye(_C[7] * A6 + _C[5] * A4 + _C[3] * A2, _C[1])
+    U = mm_g(As, V)
+    V = add_eye(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
+    P = add_eye(solve_g(V - U, 2.0 * U), 1.0)
+
+    def square_step(k, M):
+        do = k < expo
+        return jnp.where(do, mm_g(M, M), M)
+
+    return jax.lax.fori_loop(0, _MAX_SQUARINGS, square_step, P)
+
+
 def fast_expm_exchange_2(a, b):
     """exp of [[-a, b], [a, -b]] (radiation_matrix.F90:1344-1380).
     a, b: (...,). Returns (..., 2, 2)."""

@@ -7,6 +7,11 @@ particular solution of the inhomogeneous two-stream system (:674-712),
 matrix exponential -> reflectance/transmittance/source matrices, then
 upward albedo/source accumulation (diagonal or full-matrix depending on
 do_3d_effects / do_3d_lw_multilayer_effects) and the downward flux pass.
+
+Like the shortwave solver, all matrix algebra is in the g-minor layout
+(m, n, ncol, ng) with the per-level Gamma exponential evaluated inside a
+level scan (see spartacus_sw.py for the rationale: trailing small matrix
+dims pad ~25x on TPU).
 """
 from __future__ import annotations
 
@@ -17,9 +22,10 @@ import numpy as np
 from ..config import PdfShape, RadiationConfig
 from . import two_stream as ts
 from .cloudless import LwFluxes
-from .matrix import expm
-from .spartacus_sw import (TAN_DIFFUSE_ANGLE_3D, _edge_length,
-                           _layer_depth)
+from .matrix import expm_g, mm_g, mv_g, solve_g, solve_vec_g
+from .spartacus_sw import (TAN_DIFFUSE_ANGLE_3D, _diag_g, _diagonal_g,
+                           _edge_length, _layer_depth,
+                           _zero_cloudy_vec, _zero_offdiag_clear)
 from .tripleclouds import calc_overlap_matrices, calc_region_properties
 
 SIDE_EMISS_THIN = 1.4107
@@ -41,6 +47,8 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     u_mat, v_mat, tcc = calc_overlap_matrices(
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
+    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None]
+    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None]
 
     dz = _layer_depth(thermodynamics)
     if cloud.inv_cloud_effective_size is not None and cfg.do_3d_effects:
@@ -75,9 +83,10 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         od_list.append(jnp.where(cloud_mask, od_t, od))
         ssa_list.append(jnp.where(cloud_mask, ssa_t, 0.0))
         g_list.append(jnp.where(cloud_mask, g_t, 0.0))
-    od_r = jnp.stack(od_list, axis=2)
-    ssa_r = jnp.stack(ssa_list, axis=2)
-    g_r = jnp.stack(g_list, axis=2)
+    # (nlev, nreg, ncol, ng)
+    od_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in od_list], axis=1)
+    ssa_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in ssa_list], axis=1)
+    g_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in g_list], axis=1)
 
     # --- lateral transfer rates + side emissivity -------------------------
     eps = 1.2e-7
@@ -100,6 +109,7 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                   base3 / jnp.maximum(reg_fracs[:, :, 2], eps), 0.0))
     tr = jnp.minimum(tr, cfg.max_3d_transfer_rate)
     tr = jnp.where(has_3d[:, :, None, None], tr, 0.0)
+    tr_g = jnp.transpose(tr, (1, 2, 3, 0))[..., None]  # (nlev,3,3,ncol,1)
 
     # side emissivity (ncol, nlev, ng); reference :636-655
     if cfg.do_lw_side_emissivity and cfg.do_3d_effects and \
@@ -108,124 +118,135 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                                1.0 / cfg.min_cloud_effective_size)
         aspect = 1.0 / jnp.maximum(
             inv_size * reg_fracs[:, :, 0] * dz, 1e-12)
-        abs_od = (od_r[:, :, 1:, :] * (1.0 - ssa_r[:, :, 1:, :])
-                  ).sum(axis=2)
+        ssa_c = jnp.moveaxis(ssa_r[:, 1], 0, 1)    # region 2 (ncol,nlev,ng)
+        g_c = jnp.moveaxis(g_r[:, 1], 0, 1)
+        abs_od = jnp.moveaxis(
+            (od_r[:, 1:] * (1.0 - ssa_r[:, 1:])).sum(axis=1), 0, 1)
         lateral_od = (aspect / (nreg - 1.0))[..., None] * abs_od
-        s1ms = jnp.sqrt(jnp.maximum(1.0 - ssa_r[:, :, 1, :], 0.0))
+        s1ms = jnp.sqrt(jnp.maximum(1.0 - ssa_c, 0.0))
         thick = 2.0 * s1ms / jnp.maximum(
-            s1ms + jnp.sqrt(jnp.maximum(
-                1.0 - ssa_r[:, :, 1, :] * g_r[:, :, 1, :], 0.0)), 1e-12)
+            s1ms + jnp.sqrt(jnp.maximum(1.0 - ssa_c * g_c, 0.0)), 1e-12)
         side_emiss = (SIDE_EMISS_THIN - thick) / (lateral_od + 1.0) + thick
         active = (has_3d & (reg_fracs[:, :, 0] > 0.0)
                   & (reg_fracs[:, :, 1] > 0.0))[..., None]
         side_emiss = jnp.where(active, side_emiss, 1.0)
     else:
         side_emiss = jnp.ones((ncol, nlev, ng), dtype)
+    se_g = jnp.moveaxis(side_emiss, 1, 0)          # (nlev, ncol, ng)
 
-    # --- Gamma assembly, particular solution, expm -------------------------
-    gamma1, gamma2 = ts.lw_gammas(ssa_r, g_r)   # (ncol, nlev, nreg, ng)
-    od_capped = od_r.at[:, :, 0, :].set(
-        jnp.minimum(od_r[:, :, 0, :], cfg.max_gas_od_3d))
-    od_g = jnp.moveaxis(od_capped, 2, -1)       # (ncol, nlev, ng, nreg)
-    ssa_g = jnp.moveaxis(ssa_r, 2, -1)
-    g1 = jnp.moveaxis(gamma1, 2, -1)
-    g2 = jnp.moveaxis(gamma2, 2, -1)
-    frac_g = reg_fracs[:, :, None, :]           # (ncol, nlev, 1, nreg)
-    planck_top = planck_hl[:, :-1, :, None]     # (ncol, nlev, ng, 1)
-    planck_bot = planck_hl[:, 1:, :, None]
-
-    n2 = 2 * nreg
-    G = jnp.zeros((ncol, nlev, ng, n2, n2), dtype)
-    emis_coeff = od_g * (1.0 - ssa_g) * frac_g * LW_DIFFUSIVITY
-    ptop = jnp.concatenate([-emis_coeff * planck_top,
-                            emis_coeff * planck_top], axis=-1)
-    pdiff = jnp.concatenate([-emis_coeff * (planck_bot - planck_top),
-                             emis_coeff * (planck_bot - planck_top)],
-                            axis=-1)
-    for r in range(nreg):
-        G = G.at[..., r, r].add(od_g[..., r] * g1[..., r])
-        G = G.at[..., nreg + r, r].add(od_g[..., r] * g2[..., r])
-    trg = tr[:, :, None, :, :]   # broadcast over g
-    se = side_emiss              # (ncol, nlev, ng)
-    for r in range(nreg - 1):
-        G = G.at[..., r, r].add(trg[..., r, r + 1])
-        G = G.at[..., r + 1, r].add(-trg[..., r, r + 1])
-        if r > 0:
-            G = G.at[..., r + 1, r + 1].add(trg[..., r + 1, r])
-            G = G.at[..., r, r + 1].add(-trg[..., r + 1, r])
-        else:
-            G = G.at[..., r + 1, r + 1].add(se * trg[..., r + 1, r])
-            G = G.at[..., r, r + 1].add(-se * trg[..., r + 1, r])
-    if nreg == 3:
-        G = G.at[..., 0, 0].add(trg[..., 0, 2])
-        G = G.at[..., 2, 0].add(-trg[..., 0, 2])
-        G = G.at[..., 2, 2].add(se * trg[..., 2, 0])
-        G = G.at[..., 0, 2].add(-se * trg[..., 2, 0])
-    G = G.at[..., nreg:, nreg:].set(-G[..., :nreg, :nreg])
-    G = G.at[..., :nreg, nreg:].set(-G[..., nreg:, :nreg])
-
-    # particular solution: Gamma x = planck  (reference :674-680)
-    # guard singular generators (clear regions with zero od)
-    Greg = G + 1e-12 * jnp.eye(n2, dtype=dtype)
-    sol_diff = -jnp.linalg.solve(Greg, pdiff[..., None])[..., 0]
-    sol0 = jnp.linalg.solve(Greg, (sol_diff - ptop)[..., None])[..., 0]
-
-    E = expm(G)
-    A = E[..., :nreg, :nreg]
-    B = E[..., :nreg, nreg:]
-    C = E[..., nreg:, :nreg]
-    D = E[..., nreg:, nreg:]
-    Areg = A + 1e-12 * jnp.eye(nreg, dtype=dtype)
-    ref3 = -jnp.linalg.solve(Areg, B)
-    trans3 = C @ ref3 + D
-    sol0_up = sol0[..., :nreg]
-    sol0_dn = sol0[..., nreg:]
-    sdiff_up = sol_diff[..., :nreg]
-    sdiff_dn = sol_diff[..., nreg:]
-    tmp = (sol0_up + sdiff_up
-           - jnp.einsum("...ij,...j->...i", B, sol0_dn))
-    sup3 = sol0_up - jnp.linalg.solve(Areg, tmp[..., None])[..., 0]
-    tmp2 = sup3 - sol0_up
-    sdn3 = (jnp.einsum("...ij,...j->...i", C, tmp2) + sol0_dn
-            - jnp.einsum("...ij,...j->...i", D, sol0_dn) + sdiff_dn)
-
-    # --- Meador-Weaver fallback --------------------------------------------
-    pt = planck_hl[:, :-1, None, :]
-    pb = planck_hl[:, 1:, None, :]
-    if cfg.do_lw_cloud_scattering:
-        rmw, tmw, sumw, sdmw = ts.lw_reftrans(
-            od_r, gamma1, gamma2, pt * jnp.ones_like(od_r),
-            pb * jnp.ones_like(od_r))
-    else:
-        tmw, sumw, sdmw = ts.lw_no_scattering_transmittance(
-            od_r, pt * jnp.ones_like(od_r), pb * jnp.ones_like(od_r))
-        rmw = jnp.zeros_like(tmw)
-    fr4 = reg_fracs[:, :, :, None]
-    sumw = sumw * fr4
-    sdmw = sdmw * fr4
-
-    def diag_embed(x):
-        xg = jnp.moveaxis(x, 2, -1)
-        return xg[..., :, None] * jnp.eye(nreg, dtype=dtype)
+    # planck per level (nlev, ncol, ng)
+    planck_top_g = jnp.moveaxis(planck_hl[:, :-1, :], 1, 0)
+    planck_bot_g = jnp.moveaxis(planck_hl[:, 1:, :], 1, 0)
+    frac_g = jnp.transpose(reg_fracs, (1, 2, 0))[..., None]  # (nlev,nreg,ncol,1)
 
     g_ok = od <= cfg.max_gas_od_3d
-    use3d = ((has_3d[..., None] | cfg.use_expm_everywhere) & g_ok)
-    sel = use3d[..., None, None]
-    ref = jnp.where(sel, ref3, diag_embed(rmw))
-    trans = jnp.where(sel, trans3, diag_embed(tmw))
-    selv = use3d[..., None]
-    sup = jnp.where(selv, sup3, jnp.moveaxis(sumw, 2, -1))
-    sdn = jnp.where(selv, sdn3, jnp.moveaxis(sdmw, 2, -1))
+    use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
+    use3d_g = jnp.moveaxis(use3d, 1, 0)
+    clear_g = jnp.moveaxis(clear_lay, 1, 0)
 
-    # clear layers: only region 1 active
-    reg00 = jnp.zeros((nreg, nreg), bool).at[0, 0].set(True)
-    clear_sel = clear_lay[:, :, None, None, None]
-    ref = jnp.where(clear_sel & ~reg00, 0.0, ref)
-    trans = jnp.where(clear_sel & ~reg00, 0.0, trans)
-    reg0v = (jnp.arange(nreg) == 0)
-    clear_v = clear_lay[:, :, None, None]
-    sup = jnp.where(clear_v & ~reg0v, 0.0, sup)
-    sdn = jnp.where(clear_v & ~reg0v, 0.0, sdn)
+    n2 = 2 * nreg
+
+    def reftrans_body(_, xs):
+        (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
+         clear_l) = xs
+        od_capped = jnp.concatenate(
+            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
+        gamma1, gamma2 = ts.lw_gammas(ssa_l, g_l)   # (nreg, ncol, ng)
+
+        batch = od_l.shape[1:]
+        rows = [[jnp.zeros(batch, dtype) for _ in range(n2)]
+                for _ in range(n2)]
+
+        def add(i, j, val):
+            rows[i][j] = rows[i][j] + val
+
+        for r in range(nreg):
+            add(r, r, od_capped[r] * gamma1[r])
+            add(nreg + r, r, od_capped[r] * gamma2[r])
+        for r in range(nreg - 1):
+            add(r, r, tr_l[r, r + 1])
+            add(r + 1, r, -tr_l[r, r + 1])
+            if r > 0:
+                add(r + 1, r + 1, tr_l[r + 1, r])
+                add(r, r + 1, -tr_l[r + 1, r])
+            else:
+                add(r + 1, r + 1, se_l * tr_l[r + 1, r])
+                add(r, r + 1, -se_l * tr_l[r + 1, r])
+        if nreg == 3:
+            add(0, 0, tr_l[0, 2])
+            add(2, 0, -tr_l[0, 2])
+            add(2, 2, se_l * tr_l[2, 0])
+            add(0, 2, -se_l * tr_l[2, 0])
+        for i in range(nreg):
+            for j in range(nreg):
+                rows[nreg + i][nreg + j] = -rows[i][j]
+                rows[i][nreg + j] = -rows[nreg + i][j]
+        G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+        # particular solution: G x = planck source (reference :674-680)
+        emis_coeff = od_capped * (1.0 - ssa_l) * fr_l * LW_DIFFUSIVITY
+        ptop = jnp.concatenate([-emis_coeff * pt_l[None],
+                                emis_coeff * pt_l[None]], axis=0)
+        pdiff = jnp.concatenate(
+            [-emis_coeff * (pb_l - pt_l)[None],
+             emis_coeff * (pb_l - pt_l)[None]], axis=0)
+        Greg = G
+        for i in range(n2):
+            Greg = Greg.at[i, i].add(1e-12)
+        sol_diff = -solve_vec_g(Greg, pdiff)
+        sol0 = solve_vec_g(Greg, sol_diff - ptop)
+
+        E = expm_g(G)
+        sl = lambda i0, j0: E[i0:i0 + nreg, j0:j0 + nreg]
+        A = sl(0, 0)
+        B = sl(0, nreg)
+        C = sl(nreg, 0)
+        D = sl(nreg, nreg)
+        Areg = A
+        for i in range(nreg):
+            Areg = Areg.at[i, i].add(1e-12)
+        ref3 = -solve_g(Areg, B)
+        trans3 = mm_g(C, ref3) + D
+        sol0_up = sol0[:nreg]
+        sol0_dn = sol0[nreg:]
+        sdiff_up = sol_diff[:nreg]
+        sdiff_dn = sol_diff[nreg:]
+        tmp = sol0_up + sdiff_up - mv_g(B, sol0_dn)
+        sup3 = sol0_up - solve_vec_g(Areg, tmp)
+        sdn3 = (mv_g(C, sup3 - sol0_up) + sol0_dn - mv_g(D, sol0_dn)
+                + sdiff_dn)
+
+        # --- Meador-Weaver fallback -----------------------------------
+        pt_b = pt_l[None]                           # (1, ncol, ng)
+        pb_b = pb_l[None]
+        if cfg.do_lw_cloud_scattering:
+            rmw, tmw, sumw, sdmw = ts.lw_reftrans(
+                od_l, gamma1, gamma2, pt_b * jnp.ones_like(od_l),
+                pb_b * jnp.ones_like(od_l))
+        else:
+            tmw, sumw, sdmw = ts.lw_no_scattering_transmittance(
+                od_l, pt_b * jnp.ones_like(od_l),
+                pb_b * jnp.ones_like(od_l))
+            rmw = jnp.zeros_like(tmw)
+        sumw = sumw * fr_l
+        sdmw = sdmw * fr_l
+
+        sel = use3d_l                               # (ncol, ng)
+        ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
+        trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
+        sup = jnp.where(sel, sup3, sumw)
+        sdn = jnp.where(sel, sdn3, sdmw)
+        is_clear = clear_l[:, None]
+        ref = _zero_offdiag_clear(ref, is_clear)
+        trans = _zero_offdiag_clear(trans, is_clear)
+        sup = _zero_cloudy_vec(sup, is_clear)
+        sdn = _zero_cloudy_vec(sdn, is_clear)
+        return None, (ref, trans, sup, sdn)
+
+    _, (ref, trans, sup, sdn) = jax.lax.scan(
+        reftrans_body, None,
+        (od_r, ssa_r, g_r, tr_g, se_g, planck_top_g, planck_bot_g,
+         frac_g, use3d_g, clear_g))
 
     # clear-sky per-layer properties
     g1c, g2c = ts.lw_gammas(ssa, g)
@@ -240,106 +261,98 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
 
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
+    clear_prev_g = jnp.moveaxis(clear_prev, 1, 0)
     use_matrix = cfg.do_3d_effects or cfg.do_3d_lw_multilayer_effects
 
     # ---------------- upward pass -----------------------------------------
-    alb0 = (albedo[:, :, None, None] * jnp.eye(nreg, dtype=dtype))
-    src0 = emission[:, :, None] * reg_fracs[:, -1, None, :]
+    alb0 = _diag_g(jnp.stack([albedo] * nreg, 0), nreg)
+    src0 = jnp.moveaxis(
+        emission[:, :, None] * reg_fracs[:, -1, None, :], -1, 0)
 
-    def up_body(carry, lev):
+    def rev(x):
+        return jnp.flip(x, axis=0)
+
+    fields_up = (rev(ref), rev(trans), rev(sup), rev(sdn), rev(clear_g),
+                 rev(clear_prev_g), rev(um_g[:nlev]), rev(vm_g[:nlev]))
+
+    def up_body(carry, xs):
         alb, src = carry
-        R = ref[:, lev]
-        T = trans[:, lev]
-        SU = sup[:, lev]
-        SD = sdn[:, lev]
-        eye = jnp.eye(nreg, dtype=dtype)
+        R, T, SU, SD, cl_l, cl_prev, um, vm = xs
         if use_matrix:
-            denom = eye - alb @ R
-            alb_below = R + T @ jnp.linalg.solve(denom, alb @ T)
-            src_below = SU + jnp.einsum(
-                "cgij,cgj->cgi", T,
-                jnp.linalg.solve(denom, (src + jnp.einsum(
-                    "cgij,cgj->cgi", alb, SD))[..., None])[..., 0])
+            denom = -mm_g(alb, R)
+            for i in range(nreg):
+                denom = denom.at[i, i].add(1.0)
+            alb_below = R + mm_g(T, solve_g(denom, mm_g(alb, T)))
+            src_below = SU + mv_g(T, solve_vec_g(
+                denom, src + mv_g(alb, SD)))
         else:
-            Rd = jnp.diagonal(R, axis1=-2, axis2=-1)
-            Td = jnp.diagonal(T, axis1=-2, axis2=-1)
-            Ad = jnp.diagonal(alb, axis1=-2, axis2=-1)
+            Rd = _diagonal_g(R)
+            Td = _diagonal_g(T)
+            Ad = _diagonal_g(alb)
             inv = 1.0 / (1.0 - Ad * Rd)
-            alb_d = Rd + Td * Td * Ad * inv
+            alb_below = _diag_g(Rd + Td * Td * Ad * inv, nreg)
             src_below = SU + Td * (src + Ad * SD) * inv
-            alb_below = alb_d[..., None] * eye
-        is_clear = clear_lay[:, lev][:, None, None, None]
-        alb_below = jnp.where(is_clear & ~reg00, 0.0, alb_below)
-        src_below = jnp.where(is_clear[..., 0] & ~reg0v, 0.0, src_below)
+        is_clear = cl_l[:, None]
+        alb_below = _zero_offdiag_clear(alb_below, is_clear)
+        src_below = _zero_cloudy_vec(src_below, is_clear)
 
-        both_clear4 = (clear_lay[:, lev]
-                       & clear_prev[:, lev])[:, None, None, None]
-        um = u_mat[:, lev]
-        vm = v_mat[:, lev]
-        src_mixed = jnp.einsum("cij,cgj->cgi", um, src_below)
+        both_clear = (cl_l & cl_prev)[:, None]
+        src_mixed = mv_g(um, src_below)
         if cfg.do_3d_lw_multilayer_effects:
-            alb_mixed = jnp.einsum("cij,cgjk,ckl->cgil", um, alb_below,
-                                   vm)
+            alb_mixed = mm_g(mm_g(um, alb_below), vm)
         else:
-            diag_vals = jnp.einsum(
-                "cgj,cjk->cgk",
-                jnp.diagonal(alb_below, axis1=-2, axis2=-1), vm)
-            alb_mixed = diag_vals[..., None] * eye
-        alb_new = jnp.where(both_clear4, alb_below, alb_mixed)
-        src_new = jnp.where(both_clear4[..., 0], src_below, src_mixed)
+            diag_vals = mv_g(jnp.swapaxes(vm, 0, 1),
+                             _diagonal_g(alb_below))
+            alb_mixed = _diag_g(diag_vals, nreg)
+        alb_new = jnp.where(both_clear, alb_below, alb_mixed)
+        src_new = jnp.where(both_clear, src_below, src_mixed)
         return (alb_new, src_new), (alb, src)
 
-    levels_rev = jnp.arange(nlev - 1, -1, -1)
     (alb_top, src_top), (alb_hist, src_hist) = jax.lax.scan(
-        up_body, (alb0, src0), levels_rev)
-    alb_below_layer = jnp.flip(jnp.moveaxis(alb_hist, 0, 1), 1)
-    src_below_layer = jnp.flip(jnp.moveaxis(src_hist, 0, 1), 1)
+        up_body, (alb0, src0), fields_up)
+    alb_below_layer = jnp.flip(alb_hist, 0)
+    src_below_layer = jnp.flip(src_hist, 0)
 
     # ---------------- downward pass ---------------------------------------
-    fdn0 = jnp.zeros((ncol, ng, nreg), dtype)
+    fdn0 = jnp.zeros((nreg, ncol, ng), dtype)
+    clear_next = jnp.concatenate(
+        [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
+    fields_dn = (ref, trans, sdn, alb_below_layer, src_below_layer,
+                 clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
 
-    def dn_body(carry, lev):
+    def dn_body(carry, xs):
         flux_dn = carry
-        R = ref[:, lev]
-        T = trans[:, lev]
-        SD = sdn[:, lev]
-        alb_b = alb_below_layer[:, lev]
-        src_b = src_below_layer[:, lev]
-        eye = jnp.eye(nreg, dtype=dtype)
+        R, T, SD, alb_b, src_b, cl_l, cl_next, vm = xs
         if use_matrix:
-            denom = eye - R @ alb_b
-            rhs = (jnp.einsum("cgij,cgj->cgi", T, flux_dn)
-                   + jnp.einsum("cgij,cgj->cgi", R, src_b) + SD)
-            fdn_above = jnp.linalg.solve(denom, rhs[..., None])[..., 0]
-            fup_above = jnp.einsum("cgij,cgj->cgi", alb_b,
-                                   fdn_above) + src_b
+            denom = -mm_g(R, alb_b)
+            for i in range(nreg):
+                denom = denom.at[i, i].add(1.0)
+            rhs = mv_g(T, flux_dn) + mv_g(R, src_b) + SD
+            fdn_above = solve_vec_g(denom, rhs)
+            fup_above = mv_g(alb_b, fdn_above) + src_b
         else:
-            Rd = jnp.diagonal(R, axis1=-2, axis2=-1)
-            Td = jnp.diagonal(T, axis1=-2, axis2=-1)
-            Ad = jnp.diagonal(alb_b, axis1=-2, axis2=-1)
+            Rd = _diagonal_g(R)
+            Td = _diagonal_g(T)
+            Ad = _diagonal_g(alb_b)
             fdn_above = (Td * flux_dn + Rd * src_b + SD) / (
                 1.0 - Rd * Ad)
             fup_above = src_b + Ad * fdn_above
-        is_clear = clear_lay[:, lev][:, None, None]
-        fdn_above = jnp.where(is_clear & ~reg0v, 0.0, fdn_above)
-        fup_above = jnp.where(is_clear & ~reg0v, 0.0, fup_above)
-        next_clear = jnp.where(lev + 1 < nlev,
-                               clear_lay[:, jnp.minimum(lev + 1,
-                                                        nlev - 1)], True)
-        both_clear = (clear_lay[:, lev] & next_clear)[:, None, None]
-        vm = v_mat[:, lev + 1]
-        fdn_mixed = jnp.einsum("cij,cgj->cgi", vm, fdn_above)
+        is_clear = cl_l[:, None]
+        fdn_above = _zero_cloudy_vec(fdn_above, is_clear)
+        fup_above = _zero_cloudy_vec(fup_above, is_clear)
+        both_clear = (cl_l & cl_next)[:, None]
+        fdn_mixed = mv_g(vm, fdn_above)
         fdn_out = jnp.where(both_clear, fdn_above, fdn_mixed)
         return fdn_out, (fup_above, fdn_out)
 
-    _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, fdn0,
-                                           jnp.arange(nlev))
-    up_prof = jnp.concatenate(
-        [src_top.sum(-1)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(-1), 0, 1)], axis=1)
-    dn_prof = jnp.concatenate(
-        [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(-1), 0, 1)], axis=1)
+    _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, fdn0, fields_dn)
+
+    up_prof = jnp.moveaxis(
+        jnp.concatenate([src_top.sum(0)[None], fup_hist.sum(1)], axis=0),
+        0, 1)
+    dn_prof = jnp.moveaxis(
+        jnp.concatenate([jnp.zeros((1, ncol, ng), dtype),
+                         fdn_hist.sum(1)], axis=0), 0, 1)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     # ---------------- clear sky -------------------------------------------

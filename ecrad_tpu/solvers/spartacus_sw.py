@@ -10,10 +10,15 @@ treatments Zero/Edge-only/Explicit/Non-fractal/Maximum (:930-1430
 incl. step_migrations for horizontal migration distances), downward flux
 pass (:1484-1650).
 
-TPU mapping: all columns/g-points batched; levels via lax.scan; the
-reference's per-layer ng3D prefix (g-points ordered by od) becomes a
-per-(col,lev,g) mask selecting the matrix-exponential result vs the
-Meador-Weaver fallback.
+TPU mapping: all columns/g-points batched; levels via lax.scan. All
+matrix algebra uses the "g-minor" layout (m, n, ncol, ng) — matrix dims
+leading, batch dims minor — because TPU tiling pads the two minor axes
+to (8, 128) and trailing 9x9 matrices would waste ~25x memory/bandwidth
+(see solvers/matrix.py mm_g/expm_g/solve_g). The per-layer Gamma
+exponentials are evaluated inside the level scan so only one level's
+(3*nreg)^2 operator is ever resident. The reference's per-layer ng3D
+prefix (g-points ordered by od) becomes a per-(col,g) mask selecting
+the matrix-exponential result vs the Meador-Weaver fallback.
 """
 from __future__ import annotations
 
@@ -24,7 +29,7 @@ import numpy as np
 from ..config import Entrapment, PdfShape, RadiationConfig
 from . import two_stream as ts
 from .cloudless import SwFluxes
-from .matrix import expm, fast_expm_exchange_2, fast_expm_exchange_3
+from .matrix import expm_g, mm_g, mv_g, solve_g, solve_vec_g
 from .tripleclouds import calc_overlap_matrices, calc_region_properties
 
 FOUR_OVER_PI = 4.0 / np.pi
@@ -104,88 +109,102 @@ def _transfer_rates(cfg, reg_fracs, edge_len, dz, tan_sza):
     return tr_dir, tr_diff
 
 
-def _gamma_reftrans(cfg, mu0, od_r, ssa_r, g_r, tr_dir, tr_diff,
-                    use_3d_mask):
-    """Per-layer region-coupled reflectance/transmittance matrices.
+def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf):
+    """One level's region-coupled reflectance/transmittance matrices.
 
-    od_r/ssa_r/g_r: (..., nreg, ng); tr_*: (..., nreg, nreg) broadcast;
-    mu0: (...,) broadcastable. Returns 5 matrices (..., ng, nreg, nreg):
-    ref, trans, ref_dir, trans_dir_diff, trans_dir_dir.
-    """
-    nreg = od_r.shape[-2]
-    ng = od_r.shape[-1]
+    Inputs in g-minor layout: od_rg/ssa_rg/g_rg (nreg, ncol, ng);
+    trd/trf (nreg, nreg, ncol, 1); mu0 (ncol, 1). Returns 5 matrices
+    (nreg, nreg, ncol, ng). Reference :708-830."""
+    dtype = od_rg.dtype
     one_over_mu0 = 1.0 / mu0
+    gamma1, gamma2, gamma3 = ts.sw_gammas(mu0, ssa_rg, g_rg)
 
-    gamma1, gamma2, gamma3 = ts.sw_gammas(mu0[..., None, None], ssa_r,
-                                          g_r)
-    # Gamma blocks, (..., ng, 3nreg, 3nreg): move g before regions
-    odm = jnp.moveaxis(od_r, -2, -1)[..., None]     # (..., ng, nreg, 1)
-    od_g = jnp.moveaxis(od_r, -2, -1)               # (..., ng, nreg)
-    ssa_g = jnp.moveaxis(ssa_r, -2, -1)
-    g1 = jnp.moveaxis(gamma1, -2, -1)
-    g2 = jnp.moveaxis(gamma2, -2, -1)
-    g3 = jnp.moveaxis(gamma3, -2, -1)
-
-    batch = od_g.shape[:-1]
     n3 = 3 * nreg
-    G = jnp.zeros(batch + (n3, n3), od_r.dtype)
-    idx = jnp.arange(nreg)
-    # diagonal region blocks
-    diag = jax.vmap  # noqa: readable below via at[] updates
-    for r in range(nreg):
-        G = G.at[..., r, r].add(od_g[..., r] * g1[..., r])
-        G = G.at[..., nreg + r, r].add(od_g[..., r] * g2[..., r])
-        G = G.at[..., r, 2 * nreg + r].add(
-            -od_g[..., r] * ssa_g[..., r] * g3[..., r])
-        G = G.at[..., nreg + r, 2 * nreg + r].add(
-            od_g[..., r] * ssa_g[..., r] * (1.0 - g3[..., r]))
-        G = G.at[..., 2 * nreg + r, 2 * nreg + r].add(
-            -od_g[..., r] * one_over_mu0[..., None])
-    # lateral exchange (adjacent regions)
-    trd = tr_dir[..., None, :, :]   # broadcast over g
-    trf = tr_diff[..., None, :, :]
-    for r in range(nreg - 1):
-        G = G.at[..., r, r].add(trf[..., r, r + 1])
-        G = G.at[..., r + 1, r + 1].add(trf[..., r + 1, r])
-        G = G.at[..., r + 1, r].add(-trf[..., r, r + 1])
-        G = G.at[..., r, r + 1].add(-trf[..., r + 1, r])
-        G = G.at[..., 2 * nreg + r, 2 * nreg + r].add(-trd[..., r, r + 1])
-        G = G.at[..., 2 * nreg + r + 1, 2 * nreg + r + 1].add(
-            -trd[..., r + 1, r])
-        G = G.at[..., 2 * nreg + r + 1, 2 * nreg + r].add(
-            trd[..., r, r + 1])
-        G = G.at[..., 2 * nreg + r, 2 * nreg + r + 1].add(
-            trd[..., r + 1, r])
-    if nreg == 3:
-        # clear<->thick direct interface
-        G = G.at[..., 0, 0].add(trf[..., 0, 2])
-        G = G.at[..., 2, 2].add(trf[..., 2, 0])
-        G = G.at[..., 2, 0].add(-trf[..., 0, 2])
-        G = G.at[..., 0, 2].add(-trf[..., 2, 0])
-        G = G.at[..., 2 * nreg, 2 * nreg].add(-trd[..., 0, 2])
-        G = G.at[..., 2 * nreg + 2, 2 * nreg + 2].add(-trd[..., 2, 0])
-        G = G.at[..., 2 * nreg + 2, 2 * nreg].add(trd[..., 0, 2])
-        G = G.at[..., 2 * nreg, 2 * nreg + 2].add(trd[..., 2, 0])
-    # antisymmetric blocks
-    G = G.at[..., nreg:2 * nreg, nreg:2 * nreg].set(
-        -G[..., :nreg, :nreg])
-    G = G.at[..., :nreg, nreg:2 * nreg].set(
-        -G[..., nreg:2 * nreg, :nreg])
+    batch = od_rg.shape[1:]
+    rows = [[jnp.zeros(batch, dtype) for _ in range(n3)]
+            for _ in range(n3)]
 
-    E = expm(G)
-    tdd = jnp.clip(E[..., 2 * nreg:, 2 * nreg:], 0.0, 1.0)
-    A = E[..., :nreg, :nreg]
-    B = E[..., :nreg, nreg:2 * nreg]
-    C = E[..., :nreg, 2 * nreg:]
-    ref = jnp.clip(-jnp.linalg.solve(A, B), 0.0, 1.0)
-    trans = jnp.clip(E[..., nreg:2 * nreg, :nreg] @ ref
-                     + E[..., nreg:2 * nreg, nreg:2 * nreg], 0.0, 1.0)
-    refdir = jnp.clip(-jnp.linalg.solve(A, C), 0.0,
-                      mu0[..., None, None, None])
-    tdiff = jnp.clip(E[..., nreg:2 * nreg, :nreg] @ refdir
-                     + E[..., nreg:2 * nreg, 2 * nreg:], 0.0,
-                     mu0[..., None, None, None])
+    def add(i, j, val):
+        rows[i][j] = rows[i][j] + val
+
+    for r in range(nreg):
+        add(r, r, od_rg[r] * gamma1[r])
+        add(nreg + r, r, od_rg[r] * gamma2[r])
+        add(r, 2 * nreg + r, -od_rg[r] * ssa_rg[r] * gamma3[r])
+        add(nreg + r, 2 * nreg + r,
+            od_rg[r] * ssa_rg[r] * (1.0 - gamma3[r]))
+        add(2 * nreg + r, 2 * nreg + r, -od_rg[r] * one_over_mu0)
+    for r in range(nreg - 1):
+        add(r, r, trf[r, r + 1])
+        add(r + 1, r + 1, trf[r + 1, r])
+        add(r + 1, r, -trf[r, r + 1])
+        add(r, r + 1, -trf[r + 1, r])
+        add(2 * nreg + r, 2 * nreg + r, -trd[r, r + 1])
+        add(2 * nreg + r + 1, 2 * nreg + r + 1, -trd[r + 1, r])
+        add(2 * nreg + r + 1, 2 * nreg + r, trd[r, r + 1])
+        add(2 * nreg + r, 2 * nreg + r + 1, trd[r + 1, r])
+    if nreg == 3:
+        add(0, 0, trf[0, 2])
+        add(2, 2, trf[2, 0])
+        add(2, 0, -trf[0, 2])
+        add(0, 2, -trf[2, 0])
+        add(2 * nreg, 2 * nreg, -trd[0, 2])
+        add(2 * nreg + 2, 2 * nreg + 2, -trd[2, 0])
+        add(2 * nreg + 2, 2 * nreg, trd[0, 2])
+        add(2 * nreg, 2 * nreg + 2, trd[2, 0])
+    # antisymmetric blocks
+    for i in range(nreg):
+        for j in range(nreg):
+            rows[nreg + i][nreg + j] = -rows[i][j]
+            rows[i][nreg + j] = -rows[nreg + i][j]
+    G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+
+    E = expm_g(G)
+    sl = lambda i0, j0: E[i0:i0 + nreg, j0:j0 + nreg]
+    tdd = jnp.clip(sl(2 * nreg, 2 * nreg), 0.0, 1.0)
+    A = sl(0, 0)
+    B = sl(0, nreg)
+    C = sl(0, 2 * nreg)
+    ref = jnp.clip(-solve_g(A, B), 0.0, 1.0)
+    trans = jnp.clip(mm_g(sl(nreg, 0), ref) + sl(nreg, nreg), 0.0, 1.0)
+    refdir = jnp.clip(-solve_g(A, C), 0.0, mu0)
+    tdiff = jnp.clip(mm_g(sl(nreg, 0), refdir) + sl(nreg, 2 * nreg),
+                     0.0, mu0)
     return ref, trans, refdir, tdiff, tdd
+
+
+def _diag_g(x, nreg):
+    """(nreg, *batch) vector -> diagonal matrices (nreg, nreg, *batch)."""
+    zero = jnp.zeros_like(x[0])
+    return jnp.stack([
+        jnp.stack([x[i] if i == j else zero for j in range(nreg)], axis=0)
+        for i in range(nreg)], axis=0)
+
+
+def _diagonal_g(M):
+    """(m, m, *batch) -> (m, *batch) main diagonal."""
+    return jnp.stack([M[i, i] for i in range(M.shape[0])], axis=0)
+
+
+def _zero_offdiag_clear(M, is_clear):
+    """Zero all but the (0,0) entry where is_clear (broadcast batch)."""
+    m = M.shape[0]
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(m):
+            if i == 0 and j == 0:
+                cols.append(M[0, 0])
+            else:
+                cols.append(jnp.where(is_clear, 0.0, M[i, j]))
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _zero_cloudy_vec(x, is_clear):
+    return jnp.concatenate(
+        [x[:1]] + [jnp.where(is_clear, 0.0, x[i:i + 1])
+                   for i in range(1, x.shape[0])], axis=0)
 
 
 def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
@@ -214,6 +233,9 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     u_mat, v_mat, tcc = calc_overlap_matrices(
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
+    # g-minor copies for the scans: (nlev+1, nreg, nreg, ncol, 1)
+    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None]
+    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None]
 
     dz = _layer_depth(thermodynamics)             # (ncol, nlev)
     if cloud.inv_cloud_effective_size is not None and cfg.do_3d_effects:
@@ -227,6 +249,9 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     has_3d = cloudy & (edge_len[:, :, 0] > 0.0)
     tr_dir = jnp.where(has_3d[:, :, None, None], tr_dir, 0.0)
     tr_diff = jnp.where(has_3d[:, :, None, None], tr_diff, 0.0)
+    # (nlev, nreg, nreg, ncol, 1)
+    trd_g = jnp.transpose(tr_dir, (1, 2, 3, 0))[..., None]
+    trf_g = jnp.transpose(tr_diff, (1, 2, 3, 0))[..., None]
 
     # --- per-region optical properties -----------------------------------
     odc = od_cloud[:, :, band_from_g]
@@ -247,60 +272,56 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         od_list.append(jnp.where(cloud_mask, od_t, od))
         ssa_list.append(jnp.where(cloud_mask, ssa_t, ssa))
         g_list.append(jnp.where(cloud_mask, g_t, g))
-    od_r = jnp.stack(od_list, axis=2)    # (ncol, nlev, nreg, ng)
-    ssa_r = jnp.stack(ssa_list, axis=2)
-    g_r = jnp.stack(g_list, axis=2)
+    # g-minor stacks: (nlev, nreg, ncol, ng)
+    od_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in od_list], axis=1)
+    ssa_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in ssa_list], axis=1)
+    g_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in g_list], axis=1)
 
-    # --- layer reflectance/transmittance matrices -------------------------
-    # 3D (expm) path with od capped for stability:
-    od_r_capped = od_r.at[:, :, 0, :].set(
-        jnp.minimum(od_r[:, :, 0, :], cfg.max_gas_od_3d))
-    ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans(
-        cfg, mu0[:, None], od_r_capped, ssa_r, g_r, tr_dir, tr_diff,
-        has_3d)
-    # Meador-Weaver fallback per region (diagonal matrices)
-    g1, g2, g3 = ts.sw_gammas(mu0[:, None, None, None], ssa_r, g_r)
-    rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
-        mu0[:, None, None, None], od_r, ssa_r, g1, g2, g3)
-
-    def diag_embed(x):
-        # x: (ncol, nlev, nreg, ng) -> (ncol, nlev, ng, nreg, nreg)
-        xg = jnp.moveaxis(x, 2, -1)
-        return xg[..., :, None] * jnp.eye(nreg, dtype=dtype)
-
-    # selection: expm results where 3D is active for this (col,lev) AND
-    # gas od below the 3D cap (or use_expm_everywhere)
-    g_ok = od[:, :, :] <= cfg.max_gas_od_3d          # (ncol, nlev, ng)
+    # 3D-selection mask (ncol, nlev, ng) -> per level (ncol, ng)
+    g_ok = od <= cfg.max_gas_od_3d
     use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
-    sel = use3d[..., None, None]                      # (ncol,nlev,ng,1,1)
-
-    # MW values slot in directly: both formulations take perpendicular
-    # direct flux and emit horizontal diffuse flux (reference assigns
-    # ref_dir_clear into the matrix diagonal unscaled, :819-846)
-    ref = jnp.where(sel, ref3, diag_embed(rmw))
-    trans = jnp.where(sel, trans3, diag_embed(tmw))
-    ref_dir = jnp.where(sel, refdir3, diag_embed(rdmw))
-    tdiff = jnp.where(sel, tdiff3, diag_embed(tdmw))
-    tdd = jnp.where(sel, tdd3, diag_embed(tddmw))
-
-    # clear layers: zero the cloudy regions
+    use3d_g = jnp.moveaxis(use3d, 1, 0)            # (nlev, ncol, ng)
     clear_lay = ~cloudy
-    reg_eye = jnp.eye(nreg, dtype=bool)
-    reg00 = jnp.zeros((nreg, nreg), bool).at[0, 0].set(True)
-    clear_sel = clear_lay[:, :, None, None, None]
-    keep00 = reg00[None, None, None]
-    ref = jnp.where(clear_sel & ~keep00, 0.0, ref)
-    trans = jnp.where(clear_sel & ~keep00, 0.0, trans)
-    ref_dir = jnp.where(clear_sel & ~keep00, 0.0, ref_dir)
-    tdiff = jnp.where(clear_sel & ~keep00, 0.0, tdiff)
-    tdd = jnp.where(clear_sel & ~keep00, 0.0, tdd)
+    clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
-    # clear-sky (ICA) properties per layer
-    rc, tc, rdc, tdc, tddc = (rmw[:, :, 0], tmw[:, :, 0], rdmw[:, :, 0],
-                              tdmw[:, :, 0], tddmw[:, :, 0])
+    mu0_b = mu0[:, None]                           # (ncol, 1)
+
+    # --- per-level reflectance/transmittance matrices (level scan) --------
+    def reftrans_body(_, xs):
+        od_l, ssa_l, g_l, trd_l, trf_l, use3d_l, clear_l = xs
+        od_capped = jnp.concatenate(
+            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
+        ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans_level(
+            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l)
+        # Meador-Weaver fallback (diagonal matrices)
+        g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
+        rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
+            mu0_b, od_l, ssa_l, g1, g2, g3)
+        sel = use3d_l                              # (ncol, ng)
+        ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
+        trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
+        ref_dir = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
+        tdiff = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
+        tdd = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
+        is_clear = clear_l[:, None]                # (ncol, 1)
+        ref = _zero_offdiag_clear(ref, is_clear)
+        trans = _zero_offdiag_clear(trans, is_clear)
+        ref_dir = _zero_offdiag_clear(ref_dir, is_clear)
+        tdiff = _zero_offdiag_clear(tdiff, is_clear)
+        tdd = _zero_offdiag_clear(tdd, is_clear)
+        return None, (ref, trans, ref_dir, tdiff, tdd,
+                      rmw[0], tmw[0], rdmw[0], tdmw[0], tddmw[0])
+
+    _, scanned = jax.lax.scan(
+        reftrans_body, None,
+        (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g, clear_g))
+    ref, trans, ref_dir, tdiff, tdd = scanned[:5]   # (nlev,3,3,ncol,ng)
+    rc, tc, rdc, tdc, tddc = [jnp.moveaxis(x, 0, 1)
+                              for x in scanned[5:]]  # (ncol, nlev, ng)
 
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
+    clear_prev_g = jnp.moveaxis(clear_prev, 1, 0)
     inv_eff_prev = jnp.concatenate(
         [cloud.inv_cloud_effective_size[:, :1],
          cloud.inv_cloud_effective_size[:, :-1]], axis=1) \
@@ -312,162 +333,152 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     entrap = cfg.i_3d_sw_entrapment
 
     # ---------------- upward pass -----------------------------------------
-    alb0 = (albedo_diffuse[:, :, None, None]
-            * jnp.eye(nreg, dtype=dtype))           # (ncol, ng, nreg, nreg)
-    albdir0 = ((mu0[:, None] * albedo_direct)[:, :, None, None]
-               * jnp.eye(nreg, dtype=dtype))
-    x0 = jnp.zeros((ncol, ng, nreg), dtype)
+    alb0 = _diag_g(jnp.stack([albedo_diffuse] * nreg, 0), nreg)
+    albdir0 = _diag_g(jnp.stack([mu0[:, None] * albedo_direct] * nreg, 0),
+                      nreg)
+    x0 = jnp.zeros((nreg, ncol, ng), dtype)
 
     x_layer_diffuse = dz * TAN_DIFFUSE_ANGLE_3D / np.sqrt(2.0)
     x_layer_direct = dz * jnp.sqrt(tan_sza[:, None] ** 2
                                    + TAN_DIFFUSE_ANGLE_3D ** 2) * 0.5
+    # per-level scan inputs ordered surface->TOA
+    def rev(x):
+        return jnp.flip(x, axis=0)
 
-    def up_body(carry, lev):
+    edge_prev = jnp.concatenate([edge_len[:, :1], edge_len[:, :-1]],
+                                axis=1)
+    not_top = jnp.arange(nlev) > 0
+    fields_up = (rev(ref), rev(trans), rev(ref_dir), rev(tdiff), rev(tdd),
+                 rev(clear_g), rev(clear_prev_g),
+                 rev(um_g[:nlev]), rev(vm_g[:nlev]),
+                 rev(jnp.moveaxis(cloud.fraction, 1, 0)),
+                 rev(jnp.moveaxis(dz, 1, 0)),
+                 rev(jnp.moveaxis(x_layer_diffuse, 1, 0)),
+                 rev(jnp.moveaxis(x_layer_direct, 1, 0)),
+                 rev(jnp.moveaxis(edge_prev, 1, 0)),
+                 rev(jnp.moveaxis(inv_eff_prev, 1, 0)),
+                 rev(jnp.moveaxis(overlap_prev, 1, 0)),
+                 rev(jnp.moveaxis(reg_fracs, 1, 0)),
+                 rev(jnp.moveaxis(
+                     jnp.concatenate([reg_fracs[:, :1], reg_fracs[:, :-1]],
+                                     axis=1), 1, 0)),
+                 rev(not_top))
+
+    def up_body(carry, xs):
         alb, albdir, x_diff, x_dir = carry
-        R = ref[:, lev]
-        T = trans[:, lev]
-        RD = ref_dir[:, lev]
-        TD = tdiff[:, lev]
-        TDD = tdd[:, lev]
-        eye = jnp.eye(nreg, dtype=dtype)
-        denom = eye - alb @ R
-        alb_below = R + T @ jnp.linalg.solve(denom, alb @ T)
-        albdir_below = RD + T @ jnp.linalg.solve(
-            denom, albdir @ TDD + alb @ TD)
-        is_clear = clear_lay[:, lev][:, None, None, None]
-        keep = reg00[None, None]
-        alb_below = jnp.where(is_clear & ~keep, 0.0, alb_below)
-        albdir_below = jnp.where(is_clear & ~keep, 0.0, albdir_below)
+        (R, T, RD, TD, TDD, cl_l, cl_prev, um, vm, cf_l, dz_l, xld, xldir,
+         el_prev_lev, inv_eff_l, ovp_l, rf_l, rf_prev, not_top_l) = xs
+        denom = -mm_g(alb, R)
+        for i in range(nreg):
+            denom = denom.at[i, i].add(1.0)
+        alb_below = R + mm_g(T, solve_g(denom, mm_g(alb, T)))
+        albdir_below = RD + mm_g(T, solve_g(
+            denom, mm_g(albdir, TDD) + mm_g(alb, TD)))
+        is_clear = cl_l[:, None]
+        alb_below = _zero_offdiag_clear(alb_below, is_clear)
+        albdir_below = _zero_offdiag_clear(albdir_below, is_clear)
 
-        # migration distances (Explicit/Non-fractal entrapment)
         if entrap in (Entrapment.EXPLICIT,
                       Entrapment.EXPLICIT_NON_FRACTAL):
             x_diff, x_dir = _step_migrations(
-                cfg, nreg, cloud.fraction[:, lev], dz[:, lev],
-                tan_sza, R, T, RD, TDD, TD, alb, albdir, x_diff, x_dir,
-                x_layer_diffuse[:, lev], x_layer_direct[:, lev])
+                cfg, nreg, cf_l, dz_l, tan_sza, R, T, RD, TDD, TD,
+                alb, albdir, x_diff, x_dir, xld, xldir)
 
-        vm = v_mat[:, lev]    # (ncol, nreg, nreg); interface above layer
-        um = u_mat[:, lev]
-
-        both_clear = (clear_lay[:, lev]
-                      & clear_prev[:, lev])[:, None, None, None]
+        both_clear = (cl_l & cl_prev)[:, None]
 
         if entrap == Entrapment.MAXIMUM:
-            mixed = jnp.einsum("cij,cgjk,ckl->cgil", um, alb_below, vm)
-            mixed_dir = jnp.einsum("cij,cgjk,ckl->cgil", um,
-                                   albdir_below, vm)
+            mixed = mm_g(mm_g(um, alb_below), vm)
+            mixed_dir = mm_g(mm_g(um, albdir_below), vm)
         elif entrap == Entrapment.ZERO:
-            col_sum = alb_below.sum(axis=-2)        # (ncol, ng, nreg)
-            diag_new = jnp.einsum("cgj,cjk->cgk", col_sum, vm)
-            mixed = diag_new[..., None] * jnp.eye(nreg, dtype=dtype)
-            col_sum_d = albdir_below.sum(axis=-2)
-            diag_new_d = jnp.einsum("cgj,cjk->cgk", col_sum_d, vm)
-            mixed_dir = diag_new_d[..., None] * jnp.eye(nreg, dtype=dtype)
+            col_sum = alb_below.sum(axis=0)         # (nreg, ncol, ng)
+            mixed = _diag_g(mv_g(jnp.swapaxes(vm, 0, 1), col_sum), nreg)
+            col_sum_d = albdir_below.sum(axis=0)
+            mixed_dir = _diag_g(mv_g(jnp.swapaxes(vm, 0, 1), col_sum_d),
+                                nreg)
         else:
-            # Edge-only & Explicit share the off-diagonal exchange part
-            offdiag = alb_below * (1.0 - jnp.eye(nreg, dtype=dtype))
-            mixed = jnp.einsum("cij,cgjk,ckl->cgil", um, offdiag, vm)
-            offdiag_d = albdir_below * (1.0 - jnp.eye(nreg, dtype=dtype))
-            mixed_dir = jnp.einsum("cij,cgjk,ckl->cgil", um, offdiag_d,
-                                   vm)
+            offdiag = alb_below - _diag_g(_diagonal_g(alb_below), nreg)
+            mixed = mm_g(mm_g(um, offdiag), vm)
+            offdiag_d = albdir_below - _diag_g(_diagonal_g(albdir_below),
+                                               nreg)
+            mixed_dir = mm_g(mm_g(um, offdiag_d), vm)
             if entrap == Entrapment.EDGE_ONLY or not cfg.do_3d_effects:
-                diag_vals = jnp.einsum(
-                    "cgj,cjk->cgk",
-                    jnp.diagonal(alb_below, axis1=-2, axis2=-1), vm)
-                mixed = mixed + diag_vals[..., None] * jnp.eye(
-                    nreg, dtype=dtype)
-                diag_vals_d = jnp.einsum(
-                    "cgj,cjk->cgk",
-                    jnp.diagonal(albdir_below, axis1=-2, axis2=-1), vm)
-                mixed_dir = mixed_dir + diag_vals_d[..., None] * jnp.eye(
-                    nreg, dtype=dtype)
+                diag_vals = mv_g(jnp.swapaxes(vm, 0, 1),
+                                 _diagonal_g(alb_below))
+                mixed = mixed + _diag_g(diag_vals, nreg)
+                diag_vals_d = mv_g(jnp.swapaxes(vm, 0, 1),
+                                   _diagonal_g(albdir_below))
+                mixed_dir = mixed_dir + _diag_g(diag_vals_d, nreg)
             else:
-                # Explicit entrapment: horizontal homogenization within
-                # the lower regions, spread by exp of an exchange matrix
                 mixed = mixed + _explicit_entrapment(
-                    cfg, nreg, lev, alb_below, x_diff, vm, um, edge_len,
-                    inv_eff_prev, overlap_prev, reg_fracs, dtype)
+                    cfg, nreg, alb_below, x_diff, vm, um, el_prev_lev,
+                    inv_eff_l, ovp_l, rf_l, rf_prev, not_top_l, dtype)
                 mixed_dir = mixed_dir + _explicit_entrapment(
-                    cfg, nreg, lev, albdir_below, x_dir, vm, um,
-                    edge_len, inv_eff_prev, overlap_prev, reg_fracs,
-                    dtype)
+                    cfg, nreg, albdir_below, x_dir, vm, um, el_prev_lev,
+                    inv_eff_l, ovp_l, rf_l, rf_prev, not_top_l, dtype)
 
         alb_keep = jnp.where(both_clear, alb_below, mixed)
         albdir_keep = jnp.where(both_clear, albdir_below, mixed_dir)
 
-        # mix x migration distances through V
         if entrap in (Entrapment.EXPLICIT,
                       Entrapment.EXPLICIT_NON_FRACTAL):
-            x_diff_m = jnp.einsum("cjk,cgj->cgk", v_mat[:, lev], x_diff)
-            x_dir_m = jnp.einsum("cjk,cgj->cgk", v_mat[:, lev], x_dir)
-            both2 = both_clear[..., 0]
-            x_diff = jnp.where(both2, x_diff, x_diff_m)
-            x_dir = jnp.where(both2, x_dir, x_dir_m)
+            x_diff_m = mv_g(jnp.swapaxes(vm, 0, 1), x_diff)
+            x_dir_m = mv_g(jnp.swapaxes(vm, 0, 1), x_dir)
+            x_diff = jnp.where(both_clear, x_diff, x_diff_m)
+            x_dir = jnp.where(both_clear, x_dir, x_dir_m)
 
         return (alb_keep, albdir_keep, x_diff, x_dir), (alb, albdir)
 
-    levels_rev = jnp.arange(nlev - 1, -1, -1)
     (alb_top, albdir_top, _, _), (alb_hist, albdir_hist) = jax.lax.scan(
-        up_body, (alb0, albdir0, x0, x0), levels_rev)
-    alb_below_layer = jnp.flip(jnp.moveaxis(alb_hist, 0, 1), 1)
-    albdir_below_layer = jnp.flip(jnp.moveaxis(albdir_hist, 0, 1), 1)
+        up_body, (alb0, albdir0, x0, x0), fields_up)
+    alb_below_layer = jnp.flip(alb_hist, 0)        # (nlev, 3, 3, ncol, ng)
+    albdir_below_layer = jnp.flip(albdir_hist, 0)
 
     # ---------------- downward pass ---------------------------------------
-    direct0 = incoming_sw[:, :, None] * reg_fracs[:, 0, None, :]
-    # direct0: (ncol, ng, nreg)
-    fup0 = jnp.einsum("cgij,cgj->cgi", albdir_top, direct0)
+    # direct0: (nreg, ncol, ng)
+    direct0 = jnp.moveaxis(
+        incoming_sw[:, :, None] * reg_fracs[:, 0, None, :], -1, 0)
+    fup0 = mv_g(albdir_top, direct0)
 
-    def dn_body(carry, lev):
-        flux_dn, direct_dn = carry     # (ncol, ng, nreg)
-        R = ref[:, lev]
-        T = trans[:, lev]
-        RD = ref_dir[:, lev]
-        TD = tdiff[:, lev]
-        TDD = tdd[:, lev]
-        alb_b = alb_below_layer[:, lev]
-        albdir_b = albdir_below_layer[:, lev]
-        source_dn = jnp.einsum("cgij,cgj->cgi", TD, direct_dn)
-        direct_above = jnp.einsum("cgij,cgj->cgi", TDD, direct_dn)
-        eye = jnp.eye(nreg, dtype=dtype)
-        denom = eye - R @ alb_b
-        total_source = jnp.einsum("cgij,cgj->cgi", albdir_b,
-                                  direct_above)
-        rhs = (jnp.einsum("cgij,cgj->cgi", T, flux_dn)
-               + jnp.einsum("cgij,cgj->cgi", R, total_source)
-               + source_dn)
-        fdn_above = jnp.linalg.solve(denom, rhs[..., None])[..., 0]
-        fup_above = jnp.einsum("cgij,cgj->cgi", alb_b,
-                               fdn_above) + total_source
-        is_clear = clear_lay[:, lev][:, None, None]
-        reg0 = (jnp.arange(nreg) == 0)[None, None, :]
-        fdn_above = jnp.where(is_clear & ~reg0, 0.0, fdn_above)
-        fup_above = jnp.where(is_clear & ~reg0, 0.0, fup_above)
-        direct_above = jnp.where(is_clear & ~reg0, 0.0, direct_above)
-        next_clear = jnp.where(lev + 1 < nlev,
-                               clear_lay[:, jnp.minimum(lev + 1,
-                                                        nlev - 1)], True)
-        both_clear = (clear_lay[:, lev] & next_clear)[:, None, None]
-        vm = v_mat[:, lev + 1]
-        fdn_mixed = jnp.einsum("cij,cgj->cgi", vm, fdn_above)
-        ddn_mixed = jnp.einsum("cij,cgj->cgi", vm, direct_above)
+    clear_next = jnp.concatenate(
+        [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
+    fields_dn = (ref, trans, ref_dir, tdiff, tdd,
+                 alb_below_layer, albdir_below_layer,
+                 clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
+
+    def dn_body(carry, xs):
+        flux_dn, direct_dn = carry     # (nreg, ncol, ng)
+        (R, T, RD, TD, TDD, alb_b, albdir_b, cl_l, cl_next, vm) = xs
+        source_dn = mv_g(TD, direct_dn)
+        direct_above = mv_g(TDD, direct_dn)
+        denom = -mm_g(R, alb_b)
+        for i in range(nreg):
+            denom = denom.at[i, i].add(1.0)
+        total_source = mv_g(albdir_b, direct_above)
+        rhs = mv_g(T, flux_dn) + mv_g(R, total_source) + source_dn
+        fdn_above = solve_vec_g(denom, rhs)
+        fup_above = mv_g(alb_b, fdn_above) + total_source
+        is_clear = cl_l[:, None]
+        fdn_above = _zero_cloudy_vec(fdn_above, is_clear)
+        fup_above = _zero_cloudy_vec(fup_above, is_clear)
+        direct_above = _zero_cloudy_vec(direct_above, is_clear)
+        both_clear = (cl_l & cl_next)[:, None]
+        fdn_mixed = mv_g(vm, fdn_above)
+        ddn_mixed = mv_g(vm, direct_above)
         fdn_out = jnp.where(both_clear, fdn_above, fdn_mixed)
         ddn_out = jnp.where(both_clear, direct_above, ddn_mixed)
         return (fdn_out, ddn_out), (fup_above, fdn_above, direct_above)
 
     (_, _), (fup_hist, fdn_hist, ddn_hist) = jax.lax.scan(
-        dn_body, (jnp.zeros_like(direct0), direct0), jnp.arange(nlev))
+        dn_body, (jnp.zeros_like(direct0), direct0), fields_dn)
 
-    up_prof = jnp.concatenate(
-        [fup0.sum(-1)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(-1), 0, 1)], axis=1)
-    dn_diff_prof = jnp.concatenate(
-        [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(-1), 0, 1)], axis=1)
-    dn_dir_prof = jnp.concatenate(
-        [direct0.sum(-1)[:, None, :],
-         jnp.moveaxis(ddn_hist.sum(-1), 0, 1)],
-        axis=1) * mu0[:, None, None]
+    def profile(top, hist):
+        # top (nreg, ncol, ng); hist (nlev, nreg, ncol, ng)
+        prof = jnp.concatenate([top.sum(0)[None], hist.sum(1)], axis=0)
+        return jnp.moveaxis(prof, 0, 1)            # (ncol, nlev+1, ng)
+
+    up_prof = profile(fup0, fup_hist)
+    dn_diff_prof = profile(jnp.zeros_like(fup0), fdn_hist)
+    dn_dir_prof = profile(direct0, ddn_hist) * mu0[:, None, None]
     total = SwFluxes(up=up_prof, dn_diffuse=dn_diff_prof,
                      dn_direct=dn_dir_prof)
 
@@ -488,76 +499,72 @@ def _step_migrations(cfg, nreg, cloud_frac, dz, tan_sza, R, T, RD, TDD,
                      TD, alb, albdir, x_diffuse, x_direct,
                      x_layer_diffuse, x_layer_direct):
     """Update horizontal migration distances
-    (radiation_spartacus_sw.F90 step_migrations)."""
-    xl_diff = x_layer_diffuse[:, None]   # (ncol, 1)
-    xl_dir = x_layer_direct[:, None]
-    Rd = jnp.diagonal(R, axis1=-2, axis2=-1)        # (ncol, ng, nreg)
-    Td = jnp.diagonal(T, axis1=-2, axis2=-1)
-    RDd = jnp.diagonal(RD, axis1=-2, axis2=-1)
-    TDDd = jnp.diagonal(TDD, axis1=-2, axis2=-1)
-    TDd = jnp.diagonal(TD, axis1=-2, axis2=-1)
-    Ad = jnp.diagonal(alb, axis1=-2, axis2=-1)
-    ADd = jnp.diagonal(albdir, axis1=-2, axis2=-1)
+    (radiation_spartacus_sw.F90 step_migrations). All matrices g-minor
+    (nreg, nreg, ncol, ng); vectors (nreg, ncol, ng); per-level scalars
+    cloud_frac/dz/x_layer_* (ncol,)."""
+    xl_diff = x_layer_diffuse[None, :, None]   # (1, ncol, 1)
+    xl_dir = x_layer_direct[None, :, None]
+    Rd = _diagonal_g(R)
+    Td = _diagonal_g(T)
+    RDd = _diagonal_g(RD)
+    TDDd = _diagonal_g(TDD)
+    TDd = _diagonal_g(TD)
+    Ad = _diagonal_g(alb)
+    ADd = _diagonal_g(albdir)
 
     ms = Td / jnp.maximum(1.0 - Rd * Ad, 1e-12)
     x_enh = jnp.maximum(1.0 - Rd * Ad, 1e-12) ** (-1.5)
 
     top_alb_dir = jnp.maximum(1e-8, RDd + ms * (TDd * Ad + TDDd * ADd))
-    x_dir_new = jnp.maximum(0.0, xl_dir[..., None] + (
+    x_dir_new = jnp.maximum(0.0, xl_dir + (
         (TDd * Ad * x_enh + TDDd * ADd * (x_enh - 1.0))
-        * (x_diffuse + xl_diff[..., None])
-        + TDDd * ADd * (x_direct + xl_dir[..., None])) * Td
-        / top_alb_dir)
+        * (x_diffuse + xl_diff)
+        + TDDd * ADd * (x_direct + xl_dir)) * Td / top_alb_dir)
 
     top_alb = jnp.maximum(1e-8, Rd + ms * Td * Ad)
-    x_diff_new = xl_diff[..., None] + x_enh * Ad * Td * Td * (
-        x_diffuse + xl_diff[..., None]) / top_alb
+    x_diff_new = xl_diff + x_enh * Ad * Td * Td * (
+        x_diffuse + xl_diff) / top_alb
 
     # region activity per reference (cloud_frac bounds)
-    frac = cloud_frac[:, None, None]
+    frac = cloud_frac[None, :, None]
     act_first = frac < 1.0
     act_cloudy = frac > 0.0
-    reg_idx = jnp.arange(nreg)[None, None, :]
+    reg_idx = jnp.arange(nreg)[:, None, None]
     active = jnp.where(reg_idx == 0, act_first, act_cloudy)
     x_dir_new = jnp.where(active, x_dir_new, 0.0)
     x_diff_new = jnp.where(active, x_diff_new, 0.0)
     return x_diff_new, x_dir_new
 
 
-def _explicit_entrapment(cfg, nreg, lev, alb_below, x_migration, vm, um,
-                         edge_len, inv_eff_prev, overlap_prev, reg_fracs,
-                         dtype):
+def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
+                         edge_prev, inv_eff_lev, overlap_lev, rf_l,
+                         rf_prev, not_top, dtype):
     """Explicit/Non-fractal entrapment contribution to the total albedo
-    (radiation_spartacus_sw.F90:1160-1330).
+    (radiation_spartacus_sw.F90:1160-1330), g-minor layout.
 
-    For each lower region jreg2, build an exchange matrix from the
-    migration distance and upper-layer edge lengths, exponentiate
-    analytically, and distribute the diagonal albedo terms."""
-    ncol = alb_below.shape[0]
+    alb_below (nreg, nreg, ncol, ng); x_migration (nreg, ncol, ng);
+    vm/um (nreg, nreg, ncol, 1); edge_prev (ncol, 3); inv_eff_lev /
+    overlap_lev (ncol,); rf_l/rf_prev (ncol, nreg)."""
+    from .matrix import fast_expm_exchange_2, fast_expm_exchange_3
     entrap_total = 0.0
-    # transfer scaling uses the overlap with the layer above (lev-1)
-    lev_prev = jnp.maximum(lev - 1, 0)
-    edge_prev = edge_len[:, lev_prev]     # (ncol, 3) edge of layer above
-    inv_eff = jnp.minimum(inv_eff_prev[:, lev],
-                          1.0 / cfg.min_cloud_effective_size)
+    inv_eff = jnp.minimum(inv_eff_lev, 1.0 / cfg.min_cloud_effective_size)
     for jreg2 in range(nreg):
-        f_this = reg_fracs[:, lev, jreg2]
-        f_prev = reg_fracs[:, lev_prev, jreg2]
+        f_this = rf_l[:, jreg2]
+        f_prev = rf_prev[:, jreg2]
         transfer_scaling = 1.0 - (1.0 - cfg.overhang_factor) \
-            * overlap_prev[:, lev] * jnp.minimum(f_this, f_prev) \
+            * overlap_lev * jnp.minimum(f_this, f_prev) \
             / jnp.maximum(cfg.cloud_fraction_threshold, f_this)
-        transfer_scaling = jnp.where(lev > 0, transfer_scaling, 0.0)
+        transfer_scaling = jnp.where(not_top, transfer_scaling, 0.0)
 
-        # exchange rates between upper regions via this lower region
         rates = []
         for jreg in range(nreg - 1):
             r_fwd = transfer_scaling * edge_prev[:, jreg] \
-                / jnp.maximum(um[:, jreg, jreg2], 1e-5)
+                / jnp.maximum(um[jreg, jreg2, :, 0], 1e-5)
             r_bwd = transfer_scaling * edge_prev[:, jreg] \
-                / jnp.maximum(um[:, jreg + 1, jreg2], 1e-5)
+                / jnp.maximum(um[jreg + 1, jreg2, :, 0], 1e-5)
             rates.append((r_fwd, r_bwd))
 
-        x2 = x_migration[:, :, jreg2]     # (ncol, ng)
+        x2 = x_migration[jreg2]          # (ncol, ng)
         if cfg.i_3d_sw_entrapment == Entrapment.EXPLICIT:
             fractal = 1.0 / jnp.sqrt(jnp.maximum(
                 1.0, 2.5 * x2 * inv_eff[:, None]))
@@ -568,7 +575,6 @@ def _explicit_entrapment(cfg, nreg, lev, alb_below, x_migration, vm, um,
         if nreg == 3:
             c = rates[1][0][:, None] * x2 * fractal
             d = rates[1][1][:, None] * x2 * fractal
-            # cap: -min(diag) = max(a, b + c) (reference :1210-1216)
             max_entr = jnp.maximum(a, b + c)
             scale = jnp.where(max_entr > cfg.max_cloud_od,
                               cfg.max_cloud_od
@@ -582,10 +588,10 @@ def _explicit_entrapment(cfg, nreg, lev, alb_below, x_migration, vm, um,
                               / jnp.maximum(max_entr, 1e-12), 1.0)
             a, b = a * scale, b * scale
             P = fast_expm_exchange_2(a, b)
+        Pg = jnp.moveaxis(P, (-2, -1), (0, 1))     # (m, m, ncol, ng)
 
-        # albedo_part(:,j3,j) = P(j3,j) * v(jreg2,j) * alb(jreg2,jreg2)
-        albdiag = alb_below[:, :, jreg2, jreg2]    # (ncol, ng)
-        contrib = (P * vm[:, None, None, jreg2, :]
-                   * albdiag[:, :, None, None])
+        # albedo_part(j3, j) = P(j3, j) * v(jreg2, j) * alb(jreg2, jreg2)
+        albdiag = alb_below[jreg2, jreg2]          # (ncol, ng)
+        contrib = Pg * vm[jreg2][None] * albdiag[None, None]
         entrap_total = entrap_total + contrib
     return entrap_total
