@@ -1,0 +1,83 @@
+"""Column data-parallel scaling on the virtual 8-device CPU mesh.
+
+Reference parity (SURVEY §2.8): the reference's OpenMP column blocking
+and MPI-count invariance — shard results must be bit-identical to the
+single-device run, and the scaling harness must report sane
+efficiencies.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+IFS_IN = "/root/reference/test/ifs/ecrad_meridian.nc"
+
+needs_ref = pytest.mark.skipif(not os.path.exists(IFS_IN),
+                               reason="reference test files unavailable")
+
+
+@pytest.fixture(scope="module")
+def setup_and_inputs():
+    from ecrad_tpu.config import RadiationConfig, Solver
+    from ecrad_tpu.interface import setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+    cfg = RadiationConfig(i_solver_sw=Solver.TRIPLECLOUDS,
+                          i_solver_lw=Solver.TRIPLECLOUDS,
+                          use_aerosols=False,
+                          directory_name="/root/reference/data")
+    setup = setup_radiation(cfg)
+    parts = read_input(IFS_IN)
+    return setup, parts
+
+
+@needs_ref
+def test_sharded_matches_single_device(setup_and_inputs):
+    """Column sharding must not change results (the reference's
+    MPI-count-invariance, CHANGELOG:17-19)."""
+    from ecrad_tpu.interface import radiation
+    from ecrad_tpu.parallel.sharding import column_mesh, shard_columns
+    setup, parts = setup_and_inputs
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+
+    fn = jax.jit(lambda *a: radiation(setup, *a))
+    flux_single = fn(*parts)
+
+    mesh = column_mesh(jax.devices()[:8])
+    sharded = shard_columns(parts, mesh)
+    flux_sharded = fn(*sharded)
+
+    np.testing.assert_allclose(np.asarray(flux_single.lw_up),
+                               np.asarray(flux_sharded.lw_up),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(flux_single.sw_dn),
+                               np.asarray(flux_sharded.sw_dn),
+                               rtol=0, atol=2e-3)
+
+
+@needs_ref
+def test_scaling_benchmark_reports(setup_and_inputs):
+    from ecrad_tpu.interface import radiation
+    from ecrad_tpu.parallel.scaling import scaling_benchmark
+    setup, parts = setup_and_inputs
+    results = scaling_benchmark(lambda *a: radiation(setup, *a), parts,
+                                device_counts=[1, 2], nrepeat=1)
+    assert [r["devices"] for r in results] == [1, 2]
+    for r in results:
+        assert r["columns_per_sec"] > 0
+        assert 0 < r["efficiency"] <= 2.0
+
+
+def test_init_distributed_single_host():
+    from ecrad_tpu.parallel.scaling import init_distributed
+    info = init_distributed()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
+
+
+@needs_ref
+def test_host_column_slice_covers_all():
+    from ecrad_tpu.parallel.scaling import host_column_slice
+    sl = host_column_slice(32)
+    assert sl == slice(0, 32)  # single host reads everything
