@@ -300,6 +300,10 @@ class DriverConfig:
     """Offline-driver options (reference: driver/ecrad_driver_config.F90)."""
     do_parallel: bool = True
     nblocksize: int = 8
+    # Process columns in lax.map blocks of this size (0 = whole batch).
+    # The memory-bounding analogue of the reference's nblocksize OpenMP
+    # blocks; needed for SPARTACUS at large batch sizes.
+    column_block_size: int = 0
     istartcol: int = 0
     iendcol: int = 0
     nrepeat: int = 1

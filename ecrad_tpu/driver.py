@@ -186,8 +186,11 @@ def main(argv=None):
             lw_emissivity=bc.lw_emissivity,
             lw_emission=bc.lw_emission)
 
-    fn = (lambda *a: radiation(setup, *a)) if args.no_jit else jax.jit(
-        lambda *a: radiation(setup, *a))
+    run = lambda *a: radiation(setup, *a)  # noqa: E731
+    if driver_config.column_block_size > 0:
+        from .parallel.scaling import chunk_columns
+        run = chunk_columns(run, driver_config.column_block_size)
+    fn = run if args.no_jit else jax.jit(run)
 
     flux = None
     for jrepeat in range(max(driver_config.nrepeat, 1)):

@@ -248,6 +248,25 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
         return eval_sections(sections, n, use_pallas=use_pallas,
                              dtype=dtype)
 
+    def ev2(tau_secs, pfrac_secs):
+        """Evaluate a band's tau and pfrac in ONE kernel launch by
+        stacking their tables side-by-side along g (each section's
+        table zero-padded on the other half)."""
+        ngb = int(np.asarray(tau_secs[0].table).shape[1])
+
+        def pad(sec, left):
+            tab = np.asarray(sec.table, np.float32)
+            z = np.zeros_like(tab)
+            tab2 = (np.concatenate([tab, z], axis=1) if left
+                    else np.concatenate([z, tab], axis=1))
+            return Section(tab2, sec.rows, sec.weights)
+
+        combined = ([pad(s, True) for s in tau_secs]
+                    + [pad(s, False) for s in pfrac_secs])
+        out = eval_sections(combined, n, use_pallas=use_pallas,
+                            dtype=dtype)
+        return out[:ngb], out[ngb:]
+
     def eta_major_section(band, col1, col2, rat_a, rat_a1, rat_b=None,
                           rat_b1=None, col1_b=None, col2_b=None,
                           has_b=False):
@@ -272,15 +291,15 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                      c.minorfrac, tropf * scalen2))
     secs.append(_minor_noeta_section(t["lw1_kbo_mn2"], c.indminor,
                                      c.minorfrac, stratf * scalen2))
-    tau = ev(secs)
+    tau, pf = ev2(secs, [_switch_section(t["lw1_fracrefa"],
+                                         t["lw1_fracrefb"], trop, dtype)])
     corradj = jnp.where(trop,
                         jnp.where(c.pavel < 250.0,
                                   1.0 - 0.15 * (250.0 - c.pavel) / 154.4,
                                   1.0),
                         1.0 - 0.15 * (c.pavel / 95.6))
     taus.append(corradj[None, :] * tau)
-    fracs.append(ev([_switch_section(t["lw1_fracrefa"], t["lw1_fracrefb"],
-                                     trop, dtype)]))
+    fracs.append(pf)
 
     # ---------------- band 2: h2o -----------------------------------------
     # tropo: corradj*(major+self+for); strat: major+for. Fold corradj into
@@ -294,9 +313,11 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                        [w * corradj2 for w in sf[0].weights])
     for_sec = Section(sf[1].table, sf[1].rows,
                       [w * wa for w in sf[1].weights])
-    taus.append(ev([sec_major, self_sec, for_sec]))
-    fracs.append(ev([_switch_section(t["lw2_fracrefa"], t["lw2_fracrefb"],
-                                     trop, dtype)]))
+    tau, pf = ev2([sec_major, self_sec, for_sec],
+                  [_switch_section(t["lw2_fracrefa"], t["lw2_fracrefb"],
+                                   trop, dtype)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 3: h2o+co2, minor n2o --------------------------
     secs = [eta_major_section(3, c.colh2o, c.colco2, c.rat_h2oco2,
@@ -317,13 +338,14 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(_minor_eta_section(t["lw3_kbo_mn2o"], jm_b, fm_b,
                                    c.indminor, c.minorfrac,
                                    stratf * adjcoln2o))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw3_fracrefa"], t["lw3_fracrefb"],
         c.colh2o, chi_at(1, 9) / chi_at(2, 9), c.colco2, 8.0,
         col1_b=c.colh2o, rat_b=chi_at(1, 13) / chi_at(2, 13),
         col2_b=c.colco2, mult_b=4.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 4: h2o+co2 / o3+co2 ----------------------------
     secs = [eta_major_section(4, c.colh2o, c.colco2, c.rat_h2oco2,
@@ -336,7 +358,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                       [w for w in secs[1].weights])  # self already gated
     secs[2] = Section(secs[2].table, secs[2].rows,
                       [w * tropf for w in secs[2].weights])
-    tau4 = ev(secs)
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw4_fracrefa"], t["lw4_fracrefb"],
+        c.colh2o, chi_at(1, 11) / chi_at(2, 11), c.colco2, 8.0,
+        col1_b=c.colo3, rat_b=chi_at(3, 13) / chi_at(2, 13),
+        col2_b=c.colco2, mult_b=4.0)
+    tau4, pf = ev2(secs, pf_secs)
     ng4 = tau4.shape[0]
     scale = np.ones(ng4, np.float32)
     for g_1b, f in zip(range(8, 15), (0.92, 0.88, 1.07, 1.1, 0.99,
@@ -346,12 +373,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     scale_cell = (jnp.asarray(scale, dtype)[:, None] * stratf[None, :]
                   + tropf[None, :])
     taus.append(tau4 * scale_cell)
-    pf_secs, _ = _pfrac_eta_sections(
-        c, t["lw4_fracrefa"], t["lw4_fracrefb"],
-        c.colh2o, chi_at(1, 11) / chi_at(2, 11), c.colco2, 8.0,
-        col1_b=c.colo3, rat_b=chi_at(3, 13) / chi_at(2, 13),
-        col2_b=c.colco2, mult_b=4.0)
-    fracs.append(ev(pf_secs))
+    fracs.append(pf)
 
     # ---------------- band 5: h2o+co2 / o3+co2, minor o3, ccl4 ------------
     secs = [eta_major_section(5, c.colh2o, c.colco2, c.rat_h2oco2,
@@ -368,13 +390,14 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                    c.indminor, c.minorfrac,
                                    tropf * c.colo3))
     secs.append(_const_section(t["lw5_ccl4"], c.wx_ccl4))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw5_fracrefa"], t["lw5_fracrefb"],
         c.colh2o, chi_at(1, 5) / chi_at(2, 5), c.colco2, 8.0,
         col1_b=c.colo3, rat_b=chi_at(3, 43) / chi_at(2, 43),
         col2_b=c.colco2, mult_b=4.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 6: h2o; minor co2; cfc11, cfc12 ----------------
     absa6 = np.asarray(t["lw6_absa"])
@@ -396,8 +419,9 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                      c.minorfrac, tropf * adjcolco2))
     secs.append(_const_section(t["lw6_cfc11adj"], c.wx_cfc11))
     secs.append(_const_section(t["lw6_cfc12"], c.wx_cfc12))
-    taus.append(ev(secs))
-    fracs.append(ev([_const_section(t["lw6_fracrefa"], ones)]))
+    tau, pf = ev2(secs, [_const_section(t["lw6_fracrefa"], ones)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 7: h2o+o3; minor co2 ---------------------------
     secs = [eta_major_section(7, c.colh2o, c.colo3, c.rat_h2oo3,
@@ -418,7 +442,10 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                    c.indminor, c.minorfrac, tropf * adj_a))
     secs.append(_minor_noeta_section(t["lw7_kbo_mco2"], c.indminor,
                                      c.minorfrac, stratf * adj_b))
-    tau7 = ev(secs)
+    pf_secs, _ = _pfrac_eta_sections(
+        c, t["lw7_fracrefa"], np.asarray(t["lw7_fracrefb"]),
+        c.colh2o, chi_at(1, 3) / chi_at(3, 3), c.colo3, 8.0)
+    tau7, pf = ev2(secs, pf_secs)
     ng7 = tau7.shape[0]
     scale = np.ones(ng7, np.float32)
     for g_1b, f in zip(range(6, 12), (0.92, 0.88, 1.07, 1.1, 0.99, 0.855)):
@@ -426,10 +453,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     scale_cell = (jnp.asarray(scale, dtype)[:, None] * stratf[None, :]
                   + tropf[None, :])
     taus.append(tau7 * scale_cell)
-    pf_secs, _ = _pfrac_eta_sections(
-        c, t["lw7_fracrefa"], np.asarray(t["lw7_fracrefb"]),
-        c.colh2o, chi_at(1, 3) / chi_at(3, 3), c.colo3, 8.0)
-    fracs.append(ev(pf_secs))
+    fracs.append(pf)
 
     # ---------------- band 8: h2o / o3; minors co2,o3,n2o; cfc12,cfc22 ----
     secs = [_major_noeta_section(c, t["lw8_absa"], t["lw8_absb"],
@@ -451,9 +475,10 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                      c.minorfrac, stratf * c.coln2o))
     secs.append(_const_section(t["lw8_cfc12"], c.wx_cfc12))
     secs.append(_const_section(t["lw8_cfc22adj"], c.wx_cfc22))
-    taus.append(ev(secs))
-    fracs.append(ev([_switch_section(t["lw8_fracrefa"], t["lw8_fracrefb"],
-                                     trop, dtype)]))
+    tau, pf = ev2(secs, [_switch_section(t["lw8_fracrefa"], t["lw8_fracrefb"],
+                                     trop, dtype)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 9: h2o+ch4; minor n2o --------------------------
     secs = [eta_major_section(9, c.colh2o, c.colch4, c.rat_h2och4,
@@ -474,11 +499,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                    tropf * adjn2o))
     secs.append(_minor_noeta_section(t["lw9_kbo_mn2o"], c.indminor,
                                      c.minorfrac, stratf * adjn2o))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw9_fracrefa"], np.asarray(t["lw9_fracrefb"]),
         c.colh2o, chi_at(1, 9) / chi_at(6, 9), c.colch4, 8.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 10: h2o ----------------------------------------
     secs = [_major_noeta_section(c, t["lw10_absa"], t["lw10_absb"],
@@ -486,9 +512,10 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     sf = _self_for_sections(c, t["lw10_selfref"], t["lw10_forref"])
     secs.append(sf[0])
     secs.append(sf[1])
-    taus.append(ev(secs))
-    fracs.append(ev([_switch_section(t["lw10_fracrefa"],
-                                     t["lw10_fracrefb"], trop, dtype)]))
+    tau, pf = ev2(secs, [_switch_section(t["lw10_fracrefa"],
+                                     t["lw10_fracrefb"], trop, dtype)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 11: h2o; minor o2 ------------------------------
     secs = [_major_noeta_section(c, t["lw11_absa"], t["lw11_absb"],
@@ -501,9 +528,10 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                      c.minorfrac, tropf * scaleo2))
     secs.append(_minor_noeta_section(t["lw11_kbo_mo2"], c.indminor,
                                      c.minorfrac, stratf * scaleo2))
-    taus.append(ev(secs))
-    fracs.append(ev([_switch_section(t["lw11_fracrefa"],
-                                     t["lw11_fracrefb"], trop, dtype)]))
+    tau, pf = ev2(secs, [_switch_section(t["lw11_fracrefa"],
+                                     t["lw11_fracrefb"], trop, dtype)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 12: h2o+co2 (A only) ---------------------------
     secs = [eta_major_section(12, c.colh2o, c.colco2, c.rat_h2oco2,
@@ -512,11 +540,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
                         [w * tropf for w in sf[1].weights]))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw12_fracrefa"], None,
         c.colh2o, chi_at(1, 10) / chi_at(2, 10), c.colco2, 8.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 13: h2o+n2o; minors co2, co; strat o3 ----------
     secs = [eta_major_section(13, c.colh2o, c.coln2o, c.rat_h2on2o,
@@ -537,11 +566,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     # CO term vanishes; kept out for parity.
     secs.append(_minor_noeta_section(t["lw13_kbo_mo3"], c.indminor,
                                      c.minorfrac, stratf * c.colo3))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw13_fracrefa"], np.asarray(t["lw13_fracrefb"]),
         c.colh2o, chi_at(1, 5) / chi_at(4, 5), c.coln2o, 8.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 14: co2 ----------------------------------------
     secs = [_major_noeta_section(c, t["lw14_absa"], t["lw14_absb"],
@@ -550,9 +580,10 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
                         [w * tropf for w in sf[1].weights]))
-    taus.append(ev(secs))
-    fracs.append(ev([_switch_section(t["lw14_fracrefa"],
-                                     t["lw14_fracrefb"], trop, dtype)]))
+    tau, pf = ev2(secs, [_switch_section(t["lw14_fracrefa"],
+                                     t["lw14_fracrefb"], trop, dtype)])
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 15: n2o+co2; minor n2 (A only) -----------------
     secs = [eta_major_section(15, c.coln2o, c.colco2, c.rat_n2oco2,
@@ -568,11 +599,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(_minor_eta_section(t["lw15_kao_mn2"], jmn2, fmn2,
                                    c.indminor, c.minorfrac,
                                    tropf * scalen2))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw15_fracrefa"], None,
         c.coln2o, chi_at(4, 1) / chi_at(2, 1), c.colco2, 8.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     # ---------------- band 16: h2o+ch4 / ch4 ------------------------------
     secs = [eta_major_section(16, c.colh2o, c.colch4, c.rat_h2och4,
@@ -584,11 +616,12 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
                         [w * tropf for w in sf[1].weights]))
-    taus.append(ev(secs))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw16_fracrefa"], np.asarray(t["lw16_fracrefb"]),
         c.colh2o, chi_at(1, 6) / chi_at(6, 6), c.colch4, 8.0)
-    fracs.append(ev(pf_secs))
+    tau, pf = ev2(secs, pf_secs)
+    taus.append(tau)
+    fracs.append(pf)
 
     tau = jnp.concatenate(taus, axis=0)      # (140, N)
     pfrac = jnp.concatenate(fracs, axis=0)

@@ -74,6 +74,54 @@ def read_input_sharded(path: str, driver_config=None):
     return shard_columns(parts)
 
 
+def chunk_columns(run_fn: Callable, block_size: int) -> Callable:
+    """Process columns in fixed-size blocks via lax.map.
+
+    The memory-bounding analogue of the reference driver's `nblocksize`
+    column blocks (driver/ecrad_driver.F90:277): peak activation memory
+    scales with the block, not the batch — essential for SPARTACUS,
+    whose per-layer region-coupled matrices are large. Trailing
+    remainder columns are padded and cropped.
+    """
+    import jax
+
+    def wrapped(*inputs):
+        leaves, treedef = jax.tree.flatten(inputs)
+        ncol = leaves[0].shape[0]
+        nblk = -(-ncol // block_size)
+        pad = nblk * block_size - ncol
+        is_mapped = [hasattr(x, "ndim") and x.ndim >= 1
+                     and x.shape[0] == ncol for x in leaves]
+
+        def prep(x):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            return x.reshape((nblk, block_size) + x.shape[1:])
+
+        mapped = tuple(prep(x) for x, m in zip(leaves, is_mapped) if m)
+        static = [x for x, m in zip(leaves, is_mapped) if not m]
+
+        def block_fn(blk_leaves):
+            blk_iter = iter(blk_leaves)
+            stat_iter = iter(static)
+            full = [next(blk_iter) if m else next(stat_iter)
+                    for m in is_mapped]
+            return run_fn(*jax.tree.unflatten(treedef, full))
+
+        out = jax.lax.map(block_fn, mapped)
+
+        def unprep(x):
+            if not hasattr(x, "ndim") or x.ndim < 2:
+                return x
+            flat = x.reshape((nblk * block_size,) + x.shape[2:])
+            return flat[:ncol]
+
+        return jax.tree.map(unprep, out)
+
+    return wrapped
+
+
 def scaling_benchmark(run_fn: Callable, inputs, device_counts=None,
                       nrepeat: int = 3) -> List[Dict]:
     """Measure columns/s and parallel efficiency vs device count.

@@ -209,7 +209,11 @@ def _exp_exp_column(frac, overlap_param, pcc, alpha):
     i_next0 = jnp.arange(1, nobj_max + 1)
     active0 = valid_obj
     state = (cum_cc, cc_obj, alpha_obj, i_base, i_next0, active0, nobj)
-    state = jax.lax.fori_loop(0, nobj_max - 1, merge_body, state)
+    # early-exit while loop: real profiles have far fewer cloud objects
+    # than the worst-case bound, and under vmap the condition becomes
+    # "any column still merging"
+    state = jax.lax.while_loop(
+        lambda s: s[-1] > 1, lambda s: merge_body(0, s), state)
     cum_cc, cc_obj, alpha_obj, i_base_s, i_next, active, _ = state
 
     # fill below the final base

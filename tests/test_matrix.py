@@ -57,3 +57,42 @@ def test_fast_expm_exchange_3():
         want = scipy_expm(M)
         np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-4,
                                    err_msg=f"i={i}")
+
+
+def test_gminor_ops_match_reference():
+    """g-minor (leading matrix dims) ops vs numpy/scipy references."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.linalg import expm as scipy_expm
+    from ecrad_tpu.solvers.matrix import expm_g, mm_g, mv_g, solve_g, \
+        solve_vec_g
+    rng = np.random.RandomState(3)
+    A = rng.randn(40, 6, 6).astype(np.float32) * 0.7
+    B = rng.randn(40, 6, 3).astype(np.float32)
+    x = rng.randn(40, 6).astype(np.float32)
+    Ag = jnp.asarray(np.moveaxis(A, 0, -1))
+    Bg = jnp.asarray(np.moveaxis(B, 0, -1))
+    xg = jnp.asarray(np.moveaxis(x, 0, -1))
+
+    mm = np.moveaxis(np.asarray(mm_g(Ag, Bg)), -1, 0)
+    np.testing.assert_allclose(mm, A @ B, rtol=2e-5, atol=1e-5)
+
+    mv = np.moveaxis(np.asarray(mv_g(Ag, xg)), -1, 0)
+    np.testing.assert_allclose(mv, (A @ x[..., None])[..., 0],
+                               rtol=2e-5, atol=1e-5)
+
+    # diagonally-dominant systems (the unpivoted-elimination regime)
+    Add = A + 8.0 * np.eye(6, dtype=np.float32)
+    Addg = jnp.asarray(np.moveaxis(Add, 0, -1))
+    X = np.moveaxis(np.asarray(solve_g(Addg, Bg)), -1, 0)
+    np.testing.assert_allclose(X, np.linalg.solve(Add, B),
+                               rtol=2e-4, atol=2e-4)
+    y = np.moveaxis(np.asarray(solve_vec_g(Addg, xg)), -1, 0)
+    np.testing.assert_allclose(
+        y, np.linalg.solve(Add, x[..., None])[..., 0],
+        rtol=2e-4, atol=2e-4)
+
+    E = np.moveaxis(np.asarray(expm_g(Ag)), -1, 0)
+    Es = np.stack([scipy_expm(A[i].astype(np.float64))
+                   for i in range(A.shape[0])])
+    np.testing.assert_allclose(E, Es, rtol=1e-4, atol=1e-4)

@@ -81,3 +81,21 @@ def test_host_column_slice_covers_all():
     from ecrad_tpu.parallel.scaling import host_column_slice
     sl = host_column_slice(32)
     assert sl == slice(0, 32)  # single host reads everything
+
+
+@needs_ref
+def test_chunk_columns_matches_unchunked(setup_and_inputs):
+    """lax.map column blocking must be exactly equivalent (the memory
+    analogue of the reference's nblocksize blocks)."""
+    from ecrad_tpu.interface import radiation
+    from ecrad_tpu.parallel.scaling import chunk_columns
+    setup, parts = setup_and_inputs
+    fn = jax.jit(lambda *a: radiation(setup, *a))
+    full = fn(*parts)
+    # 32 columns in blocks of 10 (non-divisible: exercises padding)
+    chunked = jax.jit(chunk_columns(
+        lambda *a: radiation(setup, *a), 10))(*parts)
+    np.testing.assert_allclose(np.asarray(full.lw_up),
+                               np.asarray(chunked.lw_up), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(full.sw_dn),
+                               np.asarray(chunked.sw_dn), atol=2e-3)
