@@ -45,12 +45,14 @@ def liquid_effective_radius(pressure, temperature, cloud_frac, q_liq,
     lwc = air_density_gm3 * q_liq / frac
     rwc = air_density_gm3 * q_rain / frac
     rain_ratio = rwc / jnp.maximum(lwc, 1e-12)
+    # land-dependent factors carry a trailing singleton level axis from
+    # the caller's land_frac[:, None]; they broadcast against (ncol, nlev)
     wood_factor = jnp.where(
         lwc > 1e-12,
         (1.0 + rain_ratio) ** 0.666
-        / (1.0 + 0.2 * ratio[..., None] * rain_ratio), 1.0)
+        / (1.0 + 0.2 * ratio * rain_ratio), 1.0)
     re_cubed = (3.0 * (lwc + rwc)) / (
-        4.0 * np.pi * (ntot_cm3 * spectral_dispersion)[..., None])
+        4.0 * np.pi * (ntot_cm3 * spectral_dispersion))
     re_um = jnp.where(
         re_cubed > 1e-12,
         jnp.clip(wood_factor * 100.0
@@ -85,6 +87,53 @@ def cloud_overlap_decorr_len(sin_latitude, scheme=1):
         return 2.899 - 0.02759 * abs_lat_deg
     cos_lat = jnp.cos(jnp.arcsin(sin_latitude))
     return 0.75 + 2.149 * cos_lat * cos_lat
+
+
+def get_sw_weights(wavelength1: float, wavelength2: float):
+    """Fractional overlap of a wavelength range with each SW band.
+
+    Reference: radiation_config.F90:1304-1366 (get_sw_weights), used at
+    setup for the UV (0.2-0.4415 um) and PAR (0.4-0.7 um) diagnostics
+    (ifs/radiation_setup.F90:341-344). Returns (band_indices, weights)
+    as numpy arrays (0-based)."""
+    from .optics.rrtmg.gas_optics import WAVENUM1_SW, WAVENUM2_SW
+    wn1 = 0.01 / wavelength2
+    wn2 = 0.01 / wavelength1
+    bands, weights = [], []
+    for jband in range(len(WAVENUM1_SW)):
+        if wn1 < WAVENUM2_SW[jband] and wn2 > WAVENUM1_SW[jband]:
+            bands.append(jband)
+            weights.append(
+                (min(wn2, WAVENUM2_SW[jband])
+                 - max(wn1, WAVENUM1_SW[jband]))
+                / (WAVENUM2_SW[jband] - WAVENUM1_SW[jband]))
+    if not bands:
+        raise ValueError(
+            f"wavelength range {wavelength1}..{wavelength2} m outside "
+            f"the shortwave bands")
+    return np.asarray(bands), np.asarray(weights)
+
+
+def uv_par_fluxes(flux):
+    """Surface UV and PAR diagnostics from band-resolved surface fluxes
+    (ifs/radiation_scheme.F90:467-482). Requires the flux to carry
+    sw_dn_surf_band (config.do_surface_sw_spectral_flux).
+
+    Returns (flux_uv, flux_par, flux_par_clear), each (ncol,)."""
+    if flux.sw_dn_surf_band is None:
+        raise ValueError("uv_par_fluxes needs do_surface_sw_spectral_flux")
+    ib_uv, w_uv = get_sw_weights(0.2e-6, 0.4415e-6)
+    ib_par, w_par = get_sw_weights(0.4e-6, 0.7e-6)
+    wu = jnp.asarray(w_uv, flux.sw_dn_surf_band.dtype)
+    wp = jnp.asarray(w_par, flux.sw_dn_surf_band.dtype)
+    flux_uv = (flux.sw_dn_surf_band[:, ib_uv] * wu).sum(-1)
+    flux_par = (flux.sw_dn_surf_band[:, ib_par] * wp).sum(-1)
+    if flux.sw_dn_surf_clear_band is not None:
+        flux_par_clear = (flux.sw_dn_surf_clear_band[:, ib_par]
+                          * wp).sum(-1)
+    else:
+        flux_par_clear = jnp.zeros_like(flux_par)
+    return flux_uv, flux_par, flux_par_clear
 
 
 def radiation_scheme(setup: RadiationSetup, *, pressure_hl,
