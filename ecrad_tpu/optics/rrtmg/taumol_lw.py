@@ -126,9 +126,9 @@ def _major_eta_rows_weights(c, na, col1, col2, rat_a, rat_a1,
         weights.append(tropf * speccomb1 * wsel * c.fac11)
 
     if not has_b:
-        return rows, weights
+        return rows, weights, None, None
 
-    # --- stratosphere: 5-eta linear ---------------------------------------
+    # --- stratosphere: 5-eta linear (separate absb section, 0-based) ----
     c1b = col1 if col1_b is None else col1_b
     c2b = col2 if col2_b is None else col2_b
     stratf = 1.0 - tropf
@@ -136,20 +136,21 @@ def _major_eta_rows_weights(c, na, col1, col2, rat_a, rat_a1,
     _, jsb, fsb = _eta_index(c1b / speccomb_b, 4.0)
     speccomb1_b = c1b + rat_b1 * c2b
     _, jsb1, fsb1 = _eta_index(c1b / speccomb1_b, 4.0)
-    row0b = na + ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
-    row1b = na + ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
+    row0b = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
+    row1b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
+    rows_b, weights_b = [], []
     for row, fs_, sc, f0, f1 in ((row0b, fsb, speccomb_b, c.fac00, c.fac10),
                                  (row1b, fsb1, speccomb1_b, c.fac01,
                                   c.fac11)):
-        rows.append(jnp.where(trop, na, row))
-        weights.append(stratf * sc * (1.0 - fs_) * f0)
-        rows.append(jnp.where(trop, na, row + 1))
-        weights.append(stratf * sc * fs_ * f0)
-        rows.append(jnp.where(trop, na, row + 5))
-        weights.append(stratf * sc * (1.0 - fs_) * f1)
-        rows.append(jnp.where(trop, na, row + 6))
-        weights.append(stratf * sc * fs_ * f1)
-    return rows, weights
+        rows_b.append(jnp.where(trop, 0, row))
+        weights_b.append(stratf * sc * (1.0 - fs_) * f0)
+        rows_b.append(jnp.where(trop, 0, row + 1))
+        weights_b.append(stratf * sc * fs_ * f0)
+        rows_b.append(jnp.where(trop, 0, row + 5))
+        weights_b.append(stratf * sc * (1.0 - fs_) * f1)
+        rows_b.append(jnp.where(trop, 0, row + 6))
+        weights_b.append(stratf * sc * fs_ * f1)
+    return rows, weights, rows_b, weights_b
 
 
 def _minor_eta_section(ktab, jm, fm, indminor, minorfrac, scale):
@@ -270,17 +271,18 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     def eta_major_section(band, col1, col2, rat_a, rat_a1, rat_b=None,
                           rat_b1=None, col1_b=None, col2_b=None,
                           has_b=False):
+        """Returns a LIST of sections: splitting the tropospheric (absa)
+        and stratospheric (absb) parts keeps each section's one-hot
+        build proportional to its own table height."""
         absa = np.asarray(t[f"lw{band}_absa"])
-        if has_b:
-            absb = np.asarray(t[f"lw{band}_absb"])
-            tab = np.concatenate([absa, absb], axis=0)
-        else:
-            tab = np.concatenate([absa, np.zeros((1, absa.shape[1]),
-                                                 absa.dtype)], axis=0)
-        rows, weights = _major_eta_rows_weights(
+        rows, weights, rows_b, weights_b = _major_eta_rows_weights(
             c, absa.shape[0], col1, col2, rat_a, rat_a1, rat_b, rat_b1,
             col1_b=col1_b, col2_b=col2_b, has_b=has_b)
-        return Section(tab, rows, weights)
+        secs = [Section(absa, rows, weights)]
+        if has_b:
+            secs.append(Section(np.asarray(t[f"lw{band}_absb"]),
+                                rows_b, weights_b))
+        return secs
 
     # ---------------- band 1: h2o, minor N2 -------------------------------
     secs = [_major_noeta_section(c, t["lw1_absa"], t["lw1_absb"],
@@ -320,9 +322,9 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 3: h2o+co2, minor n2o --------------------------
-    secs = [eta_major_section(3, c.colh2o, c.colco2, c.rat_h2oco2,
+    secs = list(eta_major_section(3, c.colh2o, c.colco2, c.rat_h2oco2,
                               c.rat_h2oco2_1, c.rat_h2oco2, c.rat_h2oco2_1,
-                              has_b=True)]
+                              has_b=True))
     secs += _self_for_sections(c, t["lw3_selfref"], t["lw3_forref"])
     refm_a = chi_at(1, 3) / chi_at(2, 3)
     refm_b = chi_at(1, 13) / chi_at(2, 13)
@@ -348,16 +350,15 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 4: h2o+co2 / o3+co2 ----------------------------
-    secs = [eta_major_section(4, c.colh2o, c.colco2, c.rat_h2oco2,
+    secs = list(eta_major_section(4, c.colh2o, c.colco2, c.rat_h2oco2,
                               c.rat_h2oco2_1, c.rat_o3co2, c.rat_o3co2_1,
-                              col1_b=c.colo3, col2_b=c.colco2, has_b=True)]
-    secs += _self_for_sections(c, t["lw4_selfref"], t["lw4_forref"])
+                              col1_b=c.colo3, col2_b=c.colco2, has_b=True))
+    sf4 = _self_for_sections(c, t["lw4_selfref"], t["lw4_forref"])
     # self/for apply in troposphere only for this band (strat tau has no
-    # continuum): gate the foreign term
-    secs[1] = Section(secs[1].table, secs[1].rows,
-                      [w for w in secs[1].weights])  # self already gated
-    secs[2] = Section(secs[2].table, secs[2].rows,
-                      [w * tropf for w in secs[2].weights])
+    # continuum): gate the foreign term (self is already tropo-gated)
+    secs.append(sf4[0])
+    secs.append(Section(sf4[1].table, sf4[1].rows,
+                        [w * tropf for w in sf4[1].weights]))
     pf_secs, _ = _pfrac_eta_sections(
         c, t["lw4_fracrefa"], t["lw4_fracrefb"],
         c.colh2o, chi_at(1, 11) / chi_at(2, 11), c.colco2, 8.0,
@@ -376,9 +377,9 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 5: h2o+co2 / o3+co2, minor o3, ccl4 ------------
-    secs = [eta_major_section(5, c.colh2o, c.colco2, c.rat_h2oco2,
+    secs = list(eta_major_section(5, c.colh2o, c.colco2, c.rat_h2oco2,
                               c.rat_h2oco2_1, c.rat_o3co2, c.rat_o3co2_1,
-                              col1_b=c.colo3, col2_b=c.colco2, has_b=True)]
+                              col1_b=c.colo3, col2_b=c.colco2, has_b=True))
     sf = _self_for_sections(c, t["lw5_selfref"], t["lw5_forref"])
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
@@ -424,8 +425,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 7: h2o+o3; minor co2 ---------------------------
-    secs = [eta_major_section(7, c.colh2o, c.colo3, c.rat_h2oo3,
-                              c.rat_h2oo3_1, has_b=False)]
+    secs = list(eta_major_section(7, c.colh2o, c.colo3, c.rat_h2oo3,
+                              c.rat_h2oo3_1, has_b=False))
     # strat major: o3 against absb, no eta
     secs.append(_major_noeta_section(
         c, np.zeros_like(np.asarray(t["lw7_absa"])[:1]), t["lw7_absb"],
@@ -481,8 +482,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 9: h2o+ch4; minor n2o --------------------------
-    secs = [eta_major_section(9, c.colh2o, c.colch4, c.rat_h2och4,
-                              c.rat_h2och4_1, has_b=False)]
+    secs = list(eta_major_section(9, c.colh2o, c.colch4, c.rat_h2och4,
+                              c.rat_h2och4_1, has_b=False))
     secs.append(_major_noeta_section(
         c, np.zeros_like(np.asarray(t["lw9_absa"])[:1]), t["lw9_absb"],
         jnp.zeros_like(c.colch4), c.colch4))
@@ -534,8 +535,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 12: h2o+co2 (A only) ---------------------------
-    secs = [eta_major_section(12, c.colh2o, c.colco2, c.rat_h2oco2,
-                              c.rat_h2oco2_1, has_b=False)]
+    secs = list(eta_major_section(12, c.colh2o, c.colco2, c.rat_h2oco2,
+                              c.rat_h2oco2_1, has_b=False))
     sf = _self_for_sections(c, t["lw12_selfref"], t["lw12_forref"])
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
@@ -548,8 +549,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 13: h2o+n2o; minors co2, co; strat o3 ----------
-    secs = [eta_major_section(13, c.colh2o, c.coln2o, c.rat_h2on2o,
-                              c.rat_h2on2o_1, has_b=False)]
+    secs = list(eta_major_section(13, c.colh2o, c.coln2o, c.rat_h2on2o,
+                              c.rat_h2on2o_1, has_b=False))
     sf = _self_for_sections(c, t["lw13_selfref"], t["lw13_forref"])
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
@@ -586,8 +587,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 15: n2o+co2; minor n2 (A only) -----------------
-    secs = [eta_major_section(15, c.coln2o, c.colco2, c.rat_n2oco2,
-                              c.rat_n2oco2_1, has_b=False)]
+    secs = list(eta_major_section(15, c.coln2o, c.colco2, c.rat_n2oco2,
+                              c.rat_n2oco2_1, has_b=False))
     sf = _self_for_sections(c, t["lw15_selfref"], t["lw15_forref"])
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
@@ -607,8 +608,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     fracs.append(pf)
 
     # ---------------- band 16: h2o+ch4 / ch4 ------------------------------
-    secs = [eta_major_section(16, c.colh2o, c.colch4, c.rat_h2och4,
-                              c.rat_h2och4_1, has_b=False)]
+    secs = list(eta_major_section(16, c.colh2o, c.colch4, c.rat_h2och4,
+                              c.rat_h2och4_1, has_b=False))
     secs.append(_major_noeta_section(
         c, np.zeros_like(np.asarray(t["lw16_absa"])[:1]), t["lw16_absb"],
         jnp.zeros_like(c.colch4), c.colch4))
