@@ -250,15 +250,17 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
                 lw_albedo)
         flux = flux.replace(
             lw_up=lw.up.sum(-1), lw_dn=lw.dn.sum(-1),
-            lw_up_clear=lw_clear.up.sum(-1),
-            lw_dn_clear=lw_clear.dn.sum(-1),
             lw_dn_surf_g=lw.dn[:, -1, :],
             lw_dn_surf_band=_indexed_band_sum(
                 lw.dn[:, -1, :], setup.spec.band_from_reordered_g_lw, 16),
-            lw_dn_surf_clear_band=_indexed_band_sum(
-                lw_clear.dn[:, -1, :],
-                setup.spec.band_from_reordered_g_lw, 16),
         )
+        if cfg.do_clear:
+            flux = flux.replace(
+                lw_up_clear=lw_clear.up.sum(-1),
+                lw_dn_clear=lw_clear.dn.sum(-1),
+                lw_dn_surf_clear_band=_indexed_band_sum(
+                    lw_clear.dn[:, -1, :],
+                    setup.spec.band_from_reordered_g_lw, 16))
         if cfg.i_solver_lw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_lw)
         if cfg.do_canopy_fluxes_lw:
@@ -299,25 +301,34 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
         flux = flux.replace(
             sw_up=sw.up.sum(-1),
             sw_dn=(sw.dn_diffuse + sw.dn_direct).sum(-1),
-            sw_dn_direct=sw.dn_direct.sum(-1),
-            sw_up_clear=sw_clear.up.sum(-1),
-            sw_dn_clear=(sw_clear.dn_diffuse + sw_clear.dn_direct).sum(-1),
-            sw_dn_direct_clear=sw_clear.dn_direct.sum(-1),
             sw_dn_diffuse_surf_g=sw.dn_diffuse[:, -1, :],
             sw_dn_direct_surf_g=sw.dn_direct[:, -1, :],
         )
+        if cfg.do_sw_direct:
+            flux = flux.replace(sw_dn_direct=sw.dn_direct.sum(-1))
+        if cfg.do_clear:
+            flux = flux.replace(
+                sw_up_clear=sw_clear.up.sum(-1),
+                sw_dn_clear=(sw_clear.dn_diffuse
+                             + sw_clear.dn_direct).sum(-1))
+            if cfg.do_sw_direct:
+                flux = flux.replace(
+                    sw_dn_direct_clear=sw_clear.dn_direct.sum(-1))
         if cfg.do_surface_sw_spectral_flux:
             flux = flux.replace(
                 sw_dn_surf_band=_indexed_band_sum(
                     (sw.dn_diffuse + sw.dn_direct)[:, -1, :], band_g, 14),
                 sw_dn_direct_surf_band=_indexed_band_sum(
                     sw.dn_direct[:, -1, :], band_g, 14),
-                sw_dn_surf_clear_band=_indexed_band_sum(
-                    (sw_clear.dn_diffuse + sw_clear.dn_direct)[:, -1, :],
-                    band_g, 14),
-                sw_dn_direct_surf_clear_band=_indexed_band_sum(
-                    sw_clear.dn_direct[:, -1, :], band_g, 14),
             )
+            if cfg.do_clear:
+                flux = flux.replace(
+                    sw_dn_surf_clear_band=_indexed_band_sum(
+                        (sw_clear.dn_diffuse
+                         + sw_clear.dn_direct)[:, -1, :], band_g, 14),
+                    sw_dn_direct_surf_clear_band=_indexed_band_sum(
+                        sw_clear.dn_direct[:, -1, :], band_g, 14),
+                )
         if cfg.i_solver_sw != Solver.CLOUDLESS:
             flux = flux.replace(**extras_sw)
         if cfg.do_canopy_fluxes_sw:
