@@ -118,3 +118,30 @@ def test_spartacus_1d_vs_ica_golden(runs):
     assert np.abs(lw_dn - gold_lw_dn).max() < 4.0
     # SW differences dominated by the golden's different cloud cover
     assert np.abs(sw_up - gold_sw_up).max() < 30.0
+
+
+def test_spartacus_explicit_entrapment_vs_monte_carlo(mc_reference):
+    """Explicit entrapment (the physically best treatment per Hogan et
+    al.) must also track the Monte-Carlo reference; it should differ
+    from Maximum entrapment but stay within a similar envelope."""
+    from ecrad_tpu.config import Entrapment, RadiationConfig, Solver
+    from ecrad_tpu.interface import radiation, setup_radiation
+    sza = mc_reference["sza"][0]
+    cos_sza = np.cos(np.deg2rad(sza))
+    inputs = _load_case(cos_sza)
+    cfg = RadiationConfig(
+        i_solver_sw=Solver.SPARTACUS, i_solver_lw=Solver.SPARTACUS,
+        nregions=3, do_3d_effects=True, do_3d_lw_multilayer_effects=True,
+        i_3d_sw_entrapment=Entrapment.EXPLICIT,
+        do_lw_side_emissivity=True, min_cloud_effective_size=1.0e-6,
+        overhang_factor=1.0, overhead_sun_factor=0.06,
+        do_lw_cloud_scattering=True, cloud_inhom_decorr_scaling=0.5,
+        use_aerosols=False, directory_name="/root/reference/data")
+    setup = setup_radiation(cfg)
+    flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+    up_toa = np.asarray(flux.sw_up)[:, 0]
+    mc_up = mc_reference["up_toa_3D"][0]
+    assert np.isfinite(up_toa).all()
+    # same envelope as the Maximum-entrapment validation, slightly wider
+    # (the MC was generated to compare against Maximum)
+    assert np.abs(up_toa - mc_up).max() < 15.0
