@@ -67,31 +67,17 @@ def expm(A):
 # ---------------------------------------------------------------------------
 
 def mm_g(a, b):
-    """(m, k, *batch) @ (k, n, *batch) -> (m, n, *batch), unrolled."""
-    m, k = a.shape[:2]
-    n = b.shape[1]
-    rows = []
-    for i in range(m):
-        cols = []
-        for j in range(n):
-            acc = a[i, 0] * b[0, j]
-            for p in range(1, k):
-                acc = acc + a[i, p] * b[p, j]
-            cols.append(acc)
-        rows.append(jnp.stack(cols, axis=0))
-    return jnp.stack(rows, axis=0)
+    """(m, k, *batch) @ (k, n, *batch) -> (m, n, *batch).
+
+    A single broadcast-multiply + sum: a (m, k, 1, ...) * b (k, n, ...)
+    summed over k. One HLO reduce instead of m*n*k scalar-ish ops —
+    inside scan bodies XLA fuses this far better than unrolled loops."""
+    return (a[:, :, None] * b[None]).sum(axis=1)
 
 
 def mv_g(a, x):
     """(m, k, *batch) @ (k, *batch) -> (m, *batch)."""
-    m, k = a.shape[:2]
-    rows = []
-    for i in range(m):
-        acc = a[i, 0] * x[0]
-        for p in range(1, k):
-            acc = acc + a[i, p] * x[p]
-        rows.append(acc)
-    return jnp.stack(rows, axis=0)
+    return (a * x[None]).sum(axis=1)
 
 
 def solve_g(A, B):
@@ -158,11 +144,22 @@ def expm_g(A):
     V = add_eye(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
     P = add_eye(solve_g(V - U, 2.0 * U), 1.0)
 
-    def square_step(k, M):
-        do = k < expo
-        return jnp.where(do, mm_g(M, M), M)
+    # early-exit squaring: SPARTACUS operators rarely need more than a
+    # few squarings (od and transfer rates are capped), so loop to the
+    # batch maximum instead of the worst-case bound
+    expo_max = jnp.minimum(jnp.max(expo), _MAX_SQUARINGS)
 
-    return jax.lax.fori_loop(0, _MAX_SQUARINGS, square_step, P)
+    def cond(state):
+        k, _ = state
+        return k < expo_max
+
+    def body(state):
+        k, M = state
+        M = jnp.where(k < expo, mm_g(M, M), M)
+        return k + 1, M
+
+    _, P = jax.lax.while_loop(cond, body, (jnp.int32(0), P))
+    return P
 
 
 def fast_expm_exchange_2(a, b):

@@ -231,12 +231,12 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         sumw = sumw * fr_l
         sdmw = sdmw * fr_l
 
-        sel = use3d_l                               # (ncol, ng)
+        sel = use3d_l                               # (..., ncol, ng)
         ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
         trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
         sup = jnp.where(sel, sup3, sumw)
         sdn = jnp.where(sel, sdn3, sdmw)
-        is_clear = clear_l[:, None]
+        is_clear = clear_l[..., None]
         ref = _zero_offdiag_clear(ref, is_clear)
         trans = _zero_offdiag_clear(trans, is_clear)
         sup = _zero_cloudy_vec(sup, is_clear)

@@ -286,7 +286,10 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     mu0_b = mu0[:, None]                           # (ncol, 1)
 
-    # --- per-level reflectance/transmittance matrices (level scan) --------
+    # --- per-level reflectance/transmittance matrices (blocked scan) ------
+    # The computation is independent per level; the scan exists only to
+    # bound memory. Vectorizing BLK levels per step amortizes the
+    # per-iteration op overhead of the matrix assembly ~BLK-fold.
     def reftrans_body(_, xs):
         od_l, ssa_l, g_l, trd_l, trf_l, use3d_l, clear_l = xs
         od_capped = jnp.concatenate(
@@ -297,13 +300,13 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
         rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
             mu0_b, od_l, ssa_l, g1, g2, g3)
-        sel = use3d_l                              # (ncol, ng)
+        sel = use3d_l                              # (..., ncol, ng)
         ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
         trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
         ref_dir = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
         tdiff = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
         tdd = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
-        is_clear = clear_l[:, None]                # (ncol, 1)
+        is_clear = clear_l[..., None]              # (..., ncol, 1)
         ref = _zero_offdiag_clear(ref, is_clear)
         trans = _zero_offdiag_clear(trans, is_clear)
         ref_dir = _zero_offdiag_clear(ref_dir, is_clear)
