@@ -99,3 +99,34 @@ def test_chunk_columns_matches_unchunked(setup_and_inputs):
                                np.asarray(chunked.lw_up), atol=2e-4)
     np.testing.assert_allclose(np.asarray(full.sw_dn),
                                np.asarray(chunked.sw_dn), atol=2e-3)
+
+
+@needs_ref
+def test_column_subset_recompute_bit_identical(setup_and_inputs):
+    """The resume model (SURVEY §5): any subset of columns recomputes
+    bit-identically because per-column seeds make columns independent
+    (the reference's crashed-shard re-run property). Verified here for
+    McICA, whose stochastic generator is the only RNG consumer."""
+    from ecrad_tpu.config import RadiationConfig, Solver
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+    cfg = RadiationConfig(i_solver_sw=Solver.MCICA,
+                          i_solver_lw=Solver.MCICA,
+                          use_aerosols=False,
+                          directory_name="/root/reference/data")
+    setup = setup_radiation(cfg)
+    parts = read_input(IFS_IN)
+    fn = jax.jit(lambda *a: radiation(setup, *a))
+    full = fn(*parts)
+    # re-run columns 5..13 alone (a "crashed shard")
+    sub = tuple(jax.tree.map(
+        lambda x: (x[5:13] if hasattr(x, "ndim") and x.ndim > 0
+                   and x.shape[0] == parts[0].ncol else x), p)
+        for p in parts)
+    partial = fn(*sub)
+    np.testing.assert_array_equal(np.asarray(full.lw_up)[5:13],
+                                  np.asarray(partial.lw_up))
+    np.testing.assert_array_equal(np.asarray(full.sw_dn)[5:13],
+                                  np.asarray(partial.sw_dn))
+    np.testing.assert_array_equal(np.asarray(full.cloud_cover_sw)[5:13],
+                                  np.asarray(partial.cloud_cover_sw))
