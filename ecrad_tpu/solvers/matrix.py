@@ -162,21 +162,34 @@ def expm_g(A):
     return P
 
 
-def fast_expm_exchange_2(a, b):
-    """exp of [[-a, b], [a, -b]] (radiation_matrix.F90:1344-1380).
-    a, b: (...,). Returns (..., 2, 2)."""
+def _expm_exchange_2_entries(a, b):
     factor = (1.0 - jnp.exp(-(a + b))) / jnp.maximum(1e-12, a + b)
     r11 = 1.0 - factor * a
     r21 = factor * a
     r12 = factor * b
     r22 = 1.0 - factor * b
-    return jnp.stack([jnp.stack([r11, r12], -1),
-                      jnp.stack([r21, r22], -1)], -2)
+    return [[r11, r12], [r21, r22]]
 
 
-def fast_expm_exchange_3(a, b, c, d):
-    """exp of the 3x3 exchange matrix [[-a,b,0],[a,-b-c,d],[0,c,-d]]
-    via analytic eigendecomposition (radiation_matrix.F90:1386-1509)."""
+def fast_expm_exchange_2(a, b):
+    """exp of [[-a, b], [a, -b]] (radiation_matrix.F90:1344-1380).
+    a, b: (...,). Returns (..., 2, 2)."""
+    r = _expm_exchange_2_entries(a, b)
+    return jnp.stack([jnp.stack(row, -1) for row in r], -2)
+
+
+def fast_expm_exchange_2_g(a, b):
+    """fast_expm_exchange_2 in the g-minor layout: returns
+    (2, 2, *batch) so SPARTACUS scan bodies never materialize trailing
+    small matrix dims (pathological (8,128) padding + layout copies)."""
+    r = _expm_exchange_2_entries(a, b)
+    return jnp.stack([jnp.stack(row, 0) for row in r], 0)
+
+
+def _expm_exchange_3_entries(a, b, c, d):
+    """Entries of exp([[-a,b,0],[a,-b-c,d],[0,c,-d]]) as a 3x3 nested
+    list of (*batch,) arrays, via analytic eigendecomposition
+    (radiation_matrix.F90:1386-1509)."""
     eps = 1e-12
     y2 = 0.5 * (a + b + c + d)
     y3 = jnp.sqrt(jnp.maximum(y2 * y2 - (a * c + a * d + b * d), 0.0))
@@ -219,10 +232,23 @@ def fast_expm_exchange_3(a, b, c, d):
     x21, x22, x23 = col(jnp.zeros_like(a), d2, jnp.zeros_like(a))
     x31, x32, x33 = col(jnp.zeros_like(a), jnp.zeros_like(a), d3)
 
-    V = jnp.stack([jnp.stack([v11, v12, v13], -1),
-                   jnp.stack([one, one, one], -1),
-                   jnp.stack([v31, v32, v33], -1)], -2)  # (..., 3, 3)
-    X = jnp.stack([jnp.stack([x11, x12, x13], -1),
-                   jnp.stack([x21, x22, x23], -1),
-                   jnp.stack([x31, x32, x33], -1)], -2)
-    return V @ X
+    # R = V @ X expanded as scalar FMAs: stays in f32 (a bf16 matmul on
+    # trailing (3,3) dims would both lose precision and force layout-
+    # conversion copies on TPU)
+    V = [[v11, v12, v13], [one, one, one], [v31, v32, v33]]
+    X = [[x11, x12, x13], [x21, x22, x23], [x31, x32, x33]]
+    return [[V[i][0] * X[0][j] + V[i][1] * X[1][j] + V[i][2] * X[2][j]
+             for j in range(3)] for i in range(3)]
+
+
+def fast_expm_exchange_3(a, b, c, d):
+    """exp of the 3x3 exchange matrix [[-a,b,0],[a,-b-c,d],[0,c,-d]].
+    Returns (..., 3, 3)."""
+    r = _expm_exchange_3_entries(a, b, c, d)
+    return jnp.stack([jnp.stack(row, -1) for row in r], -2)
+
+
+def fast_expm_exchange_3_g(a, b, c, d):
+    """fast_expm_exchange_3 in the g-minor layout: (3, 3, *batch)."""
+    r = _expm_exchange_3_entries(a, b, c, d)
+    return jnp.stack([jnp.stack(row, 0) for row in r], 0)

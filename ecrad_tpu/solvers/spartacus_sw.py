@@ -548,7 +548,7 @@ def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
     alb_below (nreg, nreg, ncol, ng); x_migration (nreg, ncol, ng);
     vm/um (nreg, nreg, ncol, 1); edge_prev (ncol, 3); inv_eff_lev /
     overlap_lev (ncol,); rf_l/rf_prev (ncol, nreg)."""
-    from .matrix import fast_expm_exchange_2, fast_expm_exchange_3
+    from .matrix import fast_expm_exchange_2_g, fast_expm_exchange_3_g
     entrap_total = 0.0
     inv_eff = jnp.minimum(inv_eff_lev, 1.0 / cfg.min_cloud_effective_size)
     for jreg2 in range(nreg):
@@ -583,15 +583,14 @@ def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
                               cfg.max_cloud_od
                               / jnp.maximum(max_entr, 1e-12), 1.0)
             a, b, c, d = a * scale, b * scale, c * scale, d * scale
-            P = fast_expm_exchange_3(a, b, c, d)   # (ncol, ng, 3, 3)
+            Pg = fast_expm_exchange_3_g(a, b, c, d)  # (3, 3, ncol, ng)
         else:
             max_entr = jnp.maximum(a, b)
             scale = jnp.where(max_entr > cfg.max_cloud_od,
                               cfg.max_cloud_od
                               / jnp.maximum(max_entr, 1e-12), 1.0)
             a, b = a * scale, b * scale
-            P = fast_expm_exchange_2(a, b)
-        Pg = jnp.moveaxis(P, (-2, -1), (0, 1))     # (m, m, ncol, ng)
+            Pg = fast_expm_exchange_2_g(a, b)
 
         # albedo_part(j3, j) = P(j3, j) * v(jreg2, j) * alb(jreg2, jreg2)
         albdiag = alb_below[jreg2, jreg2]          # (ncol, ng)
