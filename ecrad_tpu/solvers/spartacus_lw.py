@@ -182,9 +182,17 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                 rows[nreg + i][nreg + j] = -rows[i][j]
                 rows[i][nreg + j] = -rows[nreg + i][j]
         G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+        # zero Gamma where the Meador-Weaver fallback is selected so the
+        # per-level squaring count reflects 3D-treated points only
+        # (see spartacus_sw._gamma_reftrans_level)
+        G = jnp.where(use3d_l, G, 0.0)
 
-        # particular solution: G x = planck source (reference :674-680)
-        emis_coeff = od_capped * (1.0 - ssa_l) * fr_l * LW_DIFFUSIVITY
+        # particular solution: G x = planck source (reference :674-680);
+        # zeroed with Gamma in masked lanes so the near-singular solve
+        # stays finite there
+        emis_coeff = jnp.where(use3d_l,
+                               od_capped * (1.0 - ssa_l) * fr_l
+                               * LW_DIFFUSIVITY, 0.0)
         ptop = jnp.concatenate([-emis_coeff * pt_l[None],
                                 emis_coeff * pt_l[None]], axis=0)
         pdiff = jnp.concatenate(

@@ -109,12 +109,21 @@ def _transfer_rates(cfg, reg_fracs, edge_len, dz, tan_sza):
     return tr_dir, tr_diff
 
 
-def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf):
+def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
+                          use3d=None):
     """One level's region-coupled reflectance/transmittance matrices.
 
     Inputs in g-minor layout: od_rg/ssa_rg/g_rg (nreg, ncol, ng);
     trd/trf (nreg, nreg, ncol, 1); mu0 (ncol, 1). Returns 5 matrices
-    (nreg, nreg, ncol, ng). Reference :708-830."""
+    (nreg, nreg, ncol, ng). Reference :708-830.
+
+    use3d (ncol, ng): where False the caller discards this result in
+    favour of the Meador-Weaver fallback, so Gamma is zeroed there
+    (expm(0) = I). This keeps the per-level squaring count at the max
+    over *3D-treated* points only — clear levels and low-sun columns
+    (whose od/mu0 diagonal would otherwise demand the full squaring
+    budget) cost nothing. Mirrors the reference evaluating expm only
+    for the ng3D g-point prefix of cloudy layers."""
     dtype = od_rg.dtype
     one_over_mu0 = 1.0 / mu0
     gamma1, gamma2, gamma3 = ts.sw_gammas(mu0, ssa_rg, g_rg)
@@ -158,6 +167,8 @@ def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf):
             rows[nreg + i][nreg + j] = -rows[i][j]
             rows[i][nreg + j] = -rows[nreg + i][j]
     G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+    if use3d is not None:
+        G = jnp.where(use3d, G, 0.0)
 
     E = expm_g(G)
     sl = lambda i0, j0: E[i0:i0 + nreg, j0:j0 + nreg]
@@ -295,7 +306,8 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         od_capped = jnp.concatenate(
             [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
         ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans_level(
-            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l)
+            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l,
+            use3d=use3d_l)
         # Meador-Weaver fallback (diagonal matrices)
         g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
         rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
