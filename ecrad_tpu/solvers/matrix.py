@@ -171,6 +171,82 @@ def _expm_exchange_2_entries(a, b):
     return [[r11, r12], [r21, r22]]
 
 
+def expm_sw_g(M, C, D):
+    """expm of the block-upper-triangular [[M, C], [0, D]] in the
+    g-minor layout: M (2n, 2n, *batch) diffuse block, C (2n, n, *batch)
+    direct->diffuse coupling, D (n, n, *batch) direct block.
+
+    The SPARTACUS SW Gamma matrix has exactly this sparsity (direct beam
+    feeds diffuse but not vice versa; reference radiation_matrix.F90
+    expm_opt :1222-1333 and repeated_square_sw_9 :456 exploit the same
+    structure). Running the Pade-7 scaling-and-squaring blockwise does
+    405 FMA per product instead of 729 for the dense 9x9.
+    Returns (Em, Ec, Ed) with exp = [[Em, Ec], [0, Ed]]."""
+    m2 = M.shape[0]
+    n = D.shape[0]
+
+    # 1-norm = max column abs-sum of the full matrix (bottom-left zero)
+    norm_left = jnp.abs(M).sum(axis=0).max(axis=0)
+    norm_right = (jnp.abs(C).sum(axis=0)
+                  + jnp.abs(D).sum(axis=0)).max(axis=0)
+    norm1 = jnp.maximum(norm_left, norm_right)
+    ratio = norm1 / _THETA3
+    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
+    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
+    s = jnp.exp2(-expo.astype(M.dtype))
+    Ms, Cs, Ds = M * s, C * s, D * s
+
+    def bprod(a, b):
+        """Product of two block-triangular matrices (as (m, c, d))."""
+        return (mm_g(a[0], b[0]), mm_g(a[0], b[1]) + mm_g(a[1], b[2]),
+                mm_g(a[2], b[2]))
+
+    def add_eye(mat, c):
+        out = mat
+        for i in range(mat.shape[0]):
+            out = out.at[i, i].add(c)
+        return out
+
+    As = (Ms, Cs, Ds)
+    A2 = bprod(As, As)
+    A4 = bprod(A2, A2)
+    A6 = bprod(A2, A4)
+
+    def pade_sum(c6, c4, c2, c0):
+        return (add_eye(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
+                c6 * A6[1] + c4 * A4[1] + c2 * A2[1],
+                add_eye(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
+
+    V = pade_sum(_C[7], _C[5], _C[3], _C[1])
+    U = bprod(As, V)
+    V = pade_sum(_C[6], _C[4], _C[2], _C[0])
+    # solve (V - U) X = 2U blockwise: the system matrix is itself
+    # [[Pm, Pc], [0, Pd]], so back-substitute the direct block first
+    Pm = V[0] - U[0]
+    Pc = V[1] - U[1]
+    Pd = V[2] - U[2]
+    Xd = solve_g(Pd, 2.0 * U[2])
+    Xm = solve_g(Pm, 2.0 * U[0])
+    Xc = solve_g(Pm, 2.0 * U[1] - mm_g(Pc, Xd))
+    P = (add_eye(Xm, 1.0), Xc, add_eye(Xd, 1.0))
+
+    expo_max = jnp.minimum(jnp.max(expo), _MAX_SQUARINGS)
+
+    def cond(state):
+        k, _ = state
+        return k < expo_max
+
+    def body(state):
+        k, p = state
+        sq = bprod(p, p)
+        do = k < expo
+        p = tuple(jnp.where(do, new, old) for new, old in zip(sq, p))
+        return k + 1, p
+
+    _, P = jax.lax.while_loop(cond, body, (jnp.int32(0), P))
+    return P
+
+
 def fast_expm_exchange_2(a, b):
     """exp of [[-a, b], [a, -b]] (radiation_matrix.F90:1344-1380).
     a, b: (...,). Returns (..., 2, 2)."""

@@ -29,7 +29,7 @@ import numpy as np
 from ..config import Entrapment, PdfShape, RadiationConfig
 from . import two_stream as ts
 from .cloudless import SwFluxes
-from .matrix import expm_g, mm_g, mv_g, solve_g, solve_vec_g
+from .matrix import expm_sw_g, mm_g, mv_g, solve_g, solve_vec_g
 from .tripleclouds import calc_overlap_matrices, calc_region_properties
 
 FOUR_OVER_PI = 4.0 / np.pi
@@ -166,20 +166,31 @@ def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
         for j in range(nreg):
             rows[nreg + i][nreg + j] = -rows[i][j]
             rows[i][nreg + j] = -rows[nreg + i][j]
-    G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+    # Gamma is block-upper-triangular [[M, C], [0, D]]: rows 2*nreg..
+    # only ever touch the direct (right) columns. Exponentiate blockwise
+    # (matrix.py expm_sw_g; the reference's expm_opt sparsity).
+    n2 = 2 * nreg
+    Gm = jnp.stack([jnp.stack(rows[i][:n2], axis=0) for i in range(n2)],
+                   axis=0)
+    Gc = jnp.stack([jnp.stack(rows[i][n2:], axis=0) for i in range(n2)],
+                   axis=0)
+    Gd = jnp.stack([jnp.stack(rows[n2 + i][n2:], axis=0)
+                    for i in range(nreg)], axis=0)
     if use3d is not None:
-        G = jnp.where(use3d, G, 0.0)
+        Gm = jnp.where(use3d, Gm, 0.0)
+        Gc = jnp.where(use3d, Gc, 0.0)
+        Gd = jnp.where(use3d, Gd, 0.0)
 
-    E = expm_g(G)
-    sl = lambda i0, j0: E[i0:i0 + nreg, j0:j0 + nreg]
-    tdd = jnp.clip(sl(2 * nreg, 2 * nreg), 0.0, 1.0)
-    A = sl(0, 0)
-    B = sl(0, nreg)
-    C = sl(0, 2 * nreg)
+    Em, Ec, Ed = expm_sw_g(Gm, Gc, Gd)
+    tdd = jnp.clip(Ed, 0.0, 1.0)
+    A = Em[:nreg, :nreg]
+    B = Em[:nreg, nreg:]
+    C = Ec[:nreg]
     ref = jnp.clip(-solve_g(A, B), 0.0, 1.0)
-    trans = jnp.clip(mm_g(sl(nreg, 0), ref) + sl(nreg, nreg), 0.0, 1.0)
+    trans = jnp.clip(mm_g(Em[nreg:, :nreg], ref) + Em[nreg:, nreg:],
+                     0.0, 1.0)
     refdir = jnp.clip(-solve_g(A, C), 0.0, mu0)
-    tdiff = jnp.clip(mm_g(sl(nreg, 0), refdir) + sl(nreg, 2 * nreg),
+    tdiff = jnp.clip(mm_g(Em[nreg:, :nreg], refdir) + Ec[nreg:],
                      0.0, mu0)
     return ref, trans, refdir, tdiff, tdd
 

@@ -96,3 +96,34 @@ def test_gminor_ops_match_reference():
     Es = np.stack([scipy_expm(A[i].astype(np.float64))
                    for i in range(A.shape[0])])
     np.testing.assert_allclose(E, Es, rtol=1e-4, atol=1e-4)
+
+
+def test_expm_sw_g_block_triangular():
+    """Blockwise expm of [[M, C], [0, D]] (SW SPARTACUS sparsity) vs a
+    dense scipy expm of the assembled 9x9, incl. norms needing several
+    squarings."""
+    from ecrad_tpu.solvers.matrix import expm_sw_g
+    rng = np.random.RandomState(7)
+    nb = 48
+    M = rng.randn(nb, 6, 6).astype(np.float32)
+    C = rng.randn(nb, 6, 3).astype(np.float32)
+    D = rng.randn(nb, 3, 3).astype(np.float32)
+    # scale a third of the batch up to force squarings
+    M[::3] *= 6.0
+    D[::3] *= 6.0
+    Em, Ec, Ed = (np.moveaxis(np.asarray(x), -1, 0) for x in expm_sw_g(
+        jnp.asarray(np.moveaxis(M, 0, -1)),
+        jnp.asarray(np.moveaxis(C, 0, -1)),
+        jnp.asarray(np.moveaxis(D, 0, -1))))
+    for i in range(nb):
+        G = np.zeros((9, 9))
+        G[:6, :6] = M[i]
+        G[:6, 6:] = C[i]
+        G[6:, 6:] = D[i]
+        want = scipy_expm(G)
+        np.testing.assert_allclose(Em[i], want[:6, :6], rtol=2e-3,
+                                   atol=2e-3, err_msg=f"Em i={i}")
+        np.testing.assert_allclose(Ec[i], want[:6, 6:], rtol=2e-3,
+                                   atol=2e-3, err_msg=f"Ec i={i}")
+        np.testing.assert_allclose(Ed[i], want[6:, 6:], rtol=2e-3,
+                                   atol=2e-3, err_msg=f"Ed i={i}")
