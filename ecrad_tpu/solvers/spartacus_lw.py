@@ -177,15 +177,19 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
             add(2, 0, -tr_l[0, 2])
             add(2, 2, se_l * tr_l[2, 0])
             add(0, 2, -se_l * tr_l[2, 0])
-        for i in range(nreg):
-            for j in range(nreg):
-                rows[nreg + i][nreg + j] = -rows[i][j]
-                rows[i][nreg + j] = -rows[nreg + i][j]
-        G = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+        # Gamma = [[Atl, -Bbl], [Bbl, -Atl]] (the up/down antisymmetry
+        # the dense assembly would fill in); only the two independent
+        # blocks are materialized — the particular solution below
+        # exploits the structure with nreg-sized solves
+        Atl = jnp.stack([jnp.stack(rows[i][:nreg], axis=0)
+                         for i in range(nreg)], axis=0)
+        Bbl = jnp.stack([jnp.stack(rows[nreg + i][:nreg], axis=0)
+                         for i in range(nreg)], axis=0)
         # zero Gamma where the Meador-Weaver fallback is selected so the
         # per-level squaring count reflects 3D-treated points only
         # (see spartacus_sw._gamma_reftrans_level)
-        G = jnp.where(use3d_l, G, 0.0)
+        Atl = jnp.where(use3d_l, Atl, 0.0)
+        Bbl = jnp.where(use3d_l, Bbl, 0.0)
 
         # particular solution: G x = planck source (reference :674-680);
         # zeroed with Gamma in masked lanes so the near-singular solve
@@ -193,23 +197,40 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         emis_coeff = jnp.where(use3d_l,
                                od_capped * (1.0 - ssa_l) * fr_l
                                * LW_DIFFUSIVITY, 0.0)
-        ptop = jnp.concatenate([-emis_coeff * pt_l[None],
-                                emis_coeff * pt_l[None]], axis=0)
-        pdiff = jnp.concatenate(
-            [-emis_coeff * (pb_l - pt_l)[None],
-             emis_coeff * (pb_l - pt_l)[None]], axis=0)
-        Greg = G
-        for i in range(n2):
-            Greg = Greg.at[i, i].add(1e-12)
-        sol_diff = -solve_vec_g(Greg, pdiff)
-        sol0 = solve_vec_g(Greg, sol_diff - ptop)
+        # In the same sum/difference basis the 2*nreg particular-
+        # solution solves collapse to nreg x nreg solves:
+        #   G [x; x'] = [-v; v]   ->  x = x' = -(A-B)^-1 v
+        #   G [y; y'] = [u+w; u-w] -> y,y' = (A-B)^-1 w +/- (A+B)^-1 u
+        # with v = emis*(P_bot - P_top), w = emis*P_top (ref :674-680).
+        v = emis_coeff * (pb_l - pt_l)[None]
+        w = emis_coeff * pt_l[None]
 
+        def reg(mat):
+            out = mat
+            for i in range(nreg):
+                out = out.at[i, i].add(1e-12)
+            return out
+
+        Ereg = reg(Atl + Bbl)
+        Freg = reg(Atl - Bbl)
+        u = solve_vec_g(Freg, v)
+        fw = solve_vec_g(Freg, w)
+        eu = solve_vec_g(Ereg, u)
+        sol_diff = jnp.concatenate([u, u], axis=0)
+        sol0 = jnp.concatenate([fw + eu, fw - eu], axis=0)
+
+        # NOTE the expm itself must stay dense: computing it in the
+        # sum/difference basis (exp = cosh +/- sinh blockwise) cancels
+        # catastrophically in f32 for optically thick layers, where
+        # cosh(A) ~ sinh(A) ~ e^A/2 but the transmittance needs e^-A.
+        G = jnp.concatenate(
+            [jnp.concatenate([Atl, -Bbl], axis=1),
+             jnp.concatenate([Bbl, -Atl], axis=1)], axis=0)
         E = expm_g(G)
-        sl = lambda i0, j0: E[i0:i0 + nreg, j0:j0 + nreg]
-        A = sl(0, 0)
-        B = sl(0, nreg)
-        C = sl(nreg, 0)
-        D = sl(nreg, nreg)
+        A = E[:nreg, :nreg]
+        B = E[:nreg, nreg:]
+        C = E[nreg:, :nreg]
+        D = E[nreg:, nreg:]
         Areg = A
         for i in range(nreg):
             Areg = Areg.at[i, i].add(1e-12)
