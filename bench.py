@@ -58,6 +58,10 @@ def main():
         solver_enum = Solver.TRIPLECLOUDS
         metric_name = "tripleclouds_columns_per_sec_chip"
         kwargs["directory_name"] = "/root/reference/data"
+    elif solver == "Homogeneous":
+        solver_enum = Solver.HOMOGENEOUS
+        metric_name = "homogeneous_columns_per_sec_chip"
+        kwargs["directory_name"] = "/root/reference/data"
     elif solver == "SPARTACUS":
         solver_enum = Solver.SPARTACUS
         metric_name = "spartacus_columns_per_sec_chip"

@@ -14,8 +14,23 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def chi_rows_at(chi, idx0):
+    """All-gas chi_mls values at a per-cell pressure index.
+
+    chi (ngas, 59); idx0 int32 (any shape, 0-based). Returns
+    (ngas,) + idx0.shape. One one-hot MXU product instead of per-gas
+    dynamic takes — XLA lowers those to serial gathers (~9 M rows/s,
+    ~2 ms each on a 280k-cell batch; see ops/gather_interp.py)."""
+    nrow = chi.shape[1]
+    flat = jnp.clip(idx0.reshape(-1), 0, nrow - 1)
+    onehot = (flat[None, :] == jnp.arange(nrow)[:, None]).astype(chi.dtype)
+    vals = jnp.dot(chi, onehot, precision=jax.lax.Precision.HIGHEST)
+    return vals.reshape((chi.shape[0],) + idx0.shape)
 
 # Molar masses as hard-coded in rrtm_prepare_gases.F90 (DATA statements)
 _AMD = 28.970
@@ -199,9 +214,13 @@ def setcoef(gc: GasColumns, preflog: np.ndarray, tref: np.ndarray,
     indminor = jnp.clip(jnp.floor(factor_m).astype(jnp.int32), 1, 18)
     minorfrac = factor_m - indminor.astype(gc.tavel.dtype)
 
-    # binary species ratios from climatology at jp and jp+1
-    def rat(i, j, idx):
-        return chi[i - 1, idx - 1] / chi[j - 1, idx - 1]
+    # binary species ratios from climatology at jp and jp+1; all gases
+    # in two one-hot products rather than 10+ serial gathers
+    chi_jp = chi_rows_at(chi, jp - 1)
+    chi_jp1 = chi_rows_at(chi, jp1 - 1)
+
+    def rat(i, j, at):
+        return at[i - 1] / at[j - 1]
 
     colh2o = 1.0e-20 * gc.colh2o_raw
     colco2 = 1.0e-20 * gc.colco2_raw
@@ -232,12 +251,12 @@ def setcoef(gc: GasColumns, preflog: np.ndarray, tref: np.ndarray,
         colh2o=colh2o, colco2=colco2, colo3=colo3, coln2o=coln2o,
         colch4=colch4, colo2=colo2, colbrd=colbrd, colmol=colmol,
         coldry=gc.coldry,
-        rat_h2oco2=rat(1, 2, jp), rat_h2oco2_1=rat(1, 2, jp1),
-        rat_h2oo3=rat(1, 3, jp), rat_h2oo3_1=rat(1, 3, jp1),
-        rat_h2on2o=rat(1, 4, jp), rat_h2on2o_1=rat(1, 4, jp1),
-        rat_h2och4=rat(1, 6, jp), rat_h2och4_1=rat(1, 6, jp1),
-        rat_n2oco2=rat(4, 2, jp), rat_n2oco2_1=rat(4, 2, jp1),
-        rat_o3co2=rat(3, 2, jp), rat_o3co2_1=rat(3, 2, jp1),
+        rat_h2oco2=rat(1, 2, chi_jp), rat_h2oco2_1=rat(1, 2, chi_jp1),
+        rat_h2oo3=rat(1, 3, chi_jp), rat_h2oo3_1=rat(1, 3, chi_jp1),
+        rat_h2on2o=rat(1, 4, chi_jp), rat_h2on2o_1=rat(1, 4, chi_jp1),
+        rat_h2och4=rat(1, 6, chi_jp), rat_h2och4_1=rat(1, 6, chi_jp1),
+        rat_n2oco2=rat(4, 2, chi_jp), rat_n2oco2_1=rat(4, 2, chi_jp1),
+        rat_o3co2=rat(3, 2, chi_jp), rat_o3co2_1=rat(3, 2, chi_jp1),
         pavel=gc.pavel,
         wx_ccl4=gc.wx_ccl4, wx_cfc11=gc.wx_cfc11, wx_cfc12=gc.wx_cfc12,
         wx_cfc22=gc.wx_cfc22,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import Section, eval_sections
-from .setcoef import Coeffs
+from .setcoef import Coeffs, chi_rows_at
 
 ONEMINUS = 1.0 - 1.0e-6
 
@@ -217,11 +217,11 @@ def _pfrac_eta_sections(c, fracrefa, fracrefb, col1, rat_a, col2_a,
     return secs, stratf
 
 
-def _chi_adjust(col, coldry, chi_row, jp, thresh, base, expo,
-                chi_const=None):
+def _chi_adjust(col, coldry, ref, thresh, base, expo):
     """Chi-ratio based column adjustment for minor gases
-    (e.g. rrtm_taumol3.F90:115-122)."""
-    ref = chi_const if chi_const is not None else chi_row[jp]
+    (e.g. rrtm_taumol3.F90:115-122). ref: reference chi value — a
+    scalar constant or the per-cell chi_mls row already evaluated at
+    JP+1 (chi_rows_at; avoids per-call serial gathers)."""
     chi = col / coldry
     rat = 1.0e20 * chi / ref
     adjfac = base + jnp.maximum(rat - base, 1e-30) ** expo
@@ -236,6 +236,9 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     c = _flat(c2)
     dtype = c.colh2o.dtype
     chi = jnp.asarray(t["chi_mls"], dtype)  # (7, 59)
+    # per-cell chi_mls at JP+1 for every gas (reference CHI_MLS(:,JP+1)
+    # in the minor-gas adjustments) — one one-hot product, no gathers
+    chiv = chi_rows_at(chi, c.jp)
     trop = c.tropo
     tropf = trop.astype(dtype)
     stratf = 1.0 - tropf
@@ -332,8 +335,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                                8.0)
     _, jm_b, fm_b = _eta_index(c.colh2o / (c.colh2o + refm_b * c.colco2),
                                4.0)
-    adjcoln2o = _chi_adjust(c.coln2o, c.coldry, chi[3], c.jp,
-                            1.5, 0.5, 0.65)
+    adjcoln2o = _chi_adjust(c.coln2o, c.coldry, chiv[3], 1.5, 0.5, 0.65)
     secs.append(_minor_eta_section(t["lw3_kao_mn2o"], jm_a, fm_a,
                                    c.indminor, c.minorfrac,
                                    tropf * adjcoln2o))
@@ -414,8 +416,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
                         [w * tropf for w in sf[1].weights]))
-    adjcolco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp,
-                            3.0, 2.0, 0.77)
+    adjcolco2 = _chi_adjust(c.colco2, c.coldry, chiv[1], 3.0, 2.0, 0.77)
     secs.append(_minor_noeta_section(t["lw6_kao_mco2"], c.indminor,
                                      c.minorfrac, tropf * adjcolco2))
     secs.append(_const_section(t["lw6_cfc11adj"], c.wx_cfc11))
@@ -437,8 +438,8 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     refm_a = chi_at(1, 3) / chi_at(3, 3)
     _, jmco2, fmco2 = _eta_index(c.colh2o / (c.colh2o + refm_a * c.colo3),
                                  8.0)
-    adj_a = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 3.0, 0.79)
-    adj_b = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.79)
+    adj_a = _chi_adjust(c.colco2, c.coldry, chiv[1], 3.0, 3.0, 0.79)
+    adj_b = _chi_adjust(c.colco2, c.coldry, chiv[1], 3.0, 2.0, 0.79)
     secs.append(_minor_eta_section(t["lw7_kao_mco2"], jmco2, fmco2,
                                    c.indminor, c.minorfrac, tropf * adj_a))
     secs.append(_minor_noeta_section(t["lw7_kbo_mco2"], c.indminor,
@@ -463,7 +464,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     secs.append(sf[0])
     secs.append(Section(sf[1].table, sf[1].rows,
                         [w * tropf for w in sf[1].weights]))
-    adjco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.65)
+    adjco2 = _chi_adjust(c.colco2, c.coldry, chiv[1], 3.0, 2.0, 0.65)
     secs.append(_minor_noeta_section(t["lw8_kao_mco2"], c.indminor,
                                      c.minorfrac, tropf * adjco2))
     secs.append(_minor_noeta_section(t["lw8_kbo_mco2"], c.indminor,
@@ -494,7 +495,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     refm_a = chi_at(1, 3) / chi_at(6, 3)
     _, jmn2o, fmn2o = _eta_index(
         c.colh2o / (c.colh2o + refm_a * c.colch4), 8.0)
-    adjn2o = _chi_adjust(c.coln2o, c.coldry, chi[3], c.jp, 1.5, 0.5, 0.65)
+    adjn2o = _chi_adjust(c.coln2o, c.coldry, chiv[3], 1.5, 0.5, 0.65)
     secs.append(_minor_eta_section(t["lw9_kao_mn2o"], jmn2o, fmn2o,
                                    c.indminor, c.minorfrac,
                                    tropf * adjn2o))
@@ -558,8 +559,7 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     refm_a = chi_at(1, 1) / chi_at(4, 1)
     _, jmco2, fmco2 = _eta_index(
         c.colh2o / (c.colh2o + refm_a * c.coln2o), 8.0)
-    adjco2 = _chi_adjust(c.colco2, c.coldry, chi[1], c.jp, 3.0, 2.0, 0.68,
-                         chi_const=3.55e-4)
+    adjco2 = _chi_adjust(c.colco2, c.coldry, 3.55e-4, 3.0, 2.0, 0.68)
     secs.append(_minor_eta_section(t["lw13_kao_mco2"], jmco2, fmco2,
                                    c.indminor, c.minorfrac,
                                    tropf * adjco2))
