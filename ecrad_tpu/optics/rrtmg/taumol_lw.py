@@ -89,46 +89,47 @@ def _eta_weights_tropo(specparm, fs):
     return (wm1, w0, w1, w2)
 
 
-def _major_eta_rows_weights(c, na, col1, col2, rat_a, rat_a1,
-                            rat_b, rat_b1, col1_b=None, col2_b=None,
-                            has_b=True):
-    """Rows/weights of a binary-species major term on [absa; absb].
+def _major_eta_sections(c, absa, absb, col1, col2, rat_a, rat_a1,
+                        rat_b=None, rat_b1=None, col1_b=None,
+                        col2_b=None, has_b=True):
+    """Binary-species major term as separable EtaSections.
 
-    Troposphere: 9-eta 3-point scheme; stratosphere (when has_b): 5-eta
-    linear. col1_b/col2_b override the strat species pair (band 4/5 use
-    o3+co2 above the tropopause). Returns (rows, weights) lists.
+    The (jp, jt) corner x eta-offset weights factor exactly as an outer
+    product, so each tropo/strat part is one EtaSection with two
+    families (jt and jt1) — the kernel then builds 65- and 9-wide
+    one-hots instead of 16 compares over the 585-row flattened table
+    (ops/gather_interp.py EtaSection).
     """
+    from ...ops.gather_interp import EtaSection
     dtype = col1.dtype
     trop = c.tropo
     tropf = trop.astype(dtype)
-    rows, weights = [], []
+    secs = []
 
-    # --- troposphere ------------------------------------------------------
     speccomb = col1 + rat_a * col2
     specparm, js, fs = _eta_index(col1 / speccomb, 8.0)
     speccomb1 = col1 + rat_a1 * col2
     specparm1, js1, fs1 = _eta_index(col1 / speccomb1, 8.0)
-    row0 = ((c.jp - 1) * 5 + (c.jt - 1)) * 9 + js
-    row1 = (c.jp * 5 + (c.jt1 - 1)) * 9 + js1
+    grid0 = (c.jp - 1) * 5 + (c.jt - 1)
+    grid1 = c.jp * 5 + (c.jt1 - 1)
     w0 = _eta_weights_tropo(specparm, fs)
     w1 = _eta_weights_tropo(specparm1, fs1)
     offs = (-1, 0, 1, 2)
-    # fac00/fac10 pair with the jt row (row0, +9); fac01/fac11 with jt1
-    for off, wsel in zip(offs, w0):
-        rows.append(jnp.where(trop, row0 + off, 0))
-        weights.append(tropf * speccomb * wsel * c.fac00)
-        rows.append(jnp.where(trop, row0 + off + 9, 0))
-        weights.append(tropf * speccomb * wsel * c.fac10)
-    for off, wsel in zip(offs, w1):
-        rows.append(jnp.where(trop, row1 + off, 0))
-        weights.append(tropf * speccomb1 * wsel * c.fac01)
-        rows.append(jnp.where(trop, row1 + off + 9, 0))
-        weights.append(tropf * speccomb1 * wsel * c.fac11)
-
+    ng = np.asarray(absa).shape[-1]
+    tab_a = np.asarray(absa).reshape(-1, 9, ng)
+    secs.append(EtaSection(
+        tab_a,
+        grids=[jnp.where(trop, grid0, 0), jnp.where(trop, grid1, 0)],
+        grid_terms=[[(0, tropf * speccomb * c.fac00),
+                     (1, tropf * speccomb * c.fac10)],
+                    [(0, tropf * speccomb1 * c.fac01),
+                     (1, tropf * speccomb1 * c.fac11)]],
+        etas=[js, js1],
+        eta_terms=[list(zip(offs, w0)), list(zip(offs, w1))],
+    ))
     if not has_b:
-        return rows, weights, None, None
+        return secs
 
-    # --- stratosphere: 5-eta linear (separate absb section, 0-based) ----
     c1b = col1 if col1_b is None else col1_b
     c2b = col2 if col2_b is None else col2_b
     stratf = 1.0 - tropf
@@ -136,33 +137,34 @@ def _major_eta_rows_weights(c, na, col1, col2, rat_a, rat_a1,
     _, jsb, fsb = _eta_index(c1b / speccomb_b, 4.0)
     speccomb1_b = c1b + rat_b1 * c2b
     _, jsb1, fsb1 = _eta_index(c1b / speccomb1_b, 4.0)
-    row0b = ((c.jp - 13) * 5 + (c.jt - 1)) * 5 + jsb
-    row1b = ((c.jp - 12) * 5 + (c.jt1 - 1)) * 5 + jsb1
-    rows_b, weights_b = [], []
-    for row, fs_, sc, f0, f1 in ((row0b, fsb, speccomb_b, c.fac00, c.fac10),
-                                 (row1b, fsb1, speccomb1_b, c.fac01,
-                                  c.fac11)):
-        rows_b.append(jnp.where(trop, 0, row))
-        weights_b.append(stratf * sc * (1.0 - fs_) * f0)
-        rows_b.append(jnp.where(trop, 0, row + 1))
-        weights_b.append(stratf * sc * fs_ * f0)
-        rows_b.append(jnp.where(trop, 0, row + 5))
-        weights_b.append(stratf * sc * (1.0 - fs_) * f1)
-        rows_b.append(jnp.where(trop, 0, row + 6))
-        weights_b.append(stratf * sc * fs_ * f1)
-    return rows, weights, rows_b, weights_b
+    grid0b = (c.jp - 13) * 5 + (c.jt - 1)
+    grid1b = (c.jp - 12) * 5 + (c.jt1 - 1)
+    tab_b = np.asarray(absb).reshape(-1, 5, ng)
+    secs.append(EtaSection(
+        tab_b,
+        grids=[jnp.where(trop, 0, grid0b), jnp.where(trop, 0, grid1b)],
+        grid_terms=[[(0, stratf * speccomb_b * c.fac00),
+                     (1, stratf * speccomb_b * c.fac10)],
+                    [(0, stratf * speccomb1_b * c.fac01),
+                     (1, stratf * speccomb1_b * c.fac11)]],
+        etas=[jsb, jsb1],
+        eta_terms=[[(0, 1.0 - fsb), (1, fsb)],
+                   [(0, 1.0 - fsb1), (1, fsb1)]],
+    ))
+    return secs
 
 
 def _minor_eta_section(ktab, jm, fm, indminor, minorfrac, scale):
-    """Minor-gas lookup with eta dependence. ktab: (neta, 19, ng)."""
-    neta, nt, ng = ktab.shape
-    flat = np.asarray(ktab).reshape(neta * nt, ng)
-    row = jm * nt + (indminor - 1)
-    w_m1 = 1.0 - minorfrac
-    rows = [row, row + nt, row + 1, row + nt + 1]
-    weights = [scale * w_m1 * (1.0 - fm), scale * w_m1 * fm,
-               scale * minorfrac * (1.0 - fm), scale * minorfrac * fm]
-    return Section(flat, rows, weights)
+    """Minor-gas lookup with eta dependence as a separable EtaSection.
+    ktab: (neta, 19, ng); weights factor as (eta) x (temperature)."""
+    from ...ops.gather_interp import EtaSection
+    return EtaSection(
+        np.asarray(ktab),
+        grids=[jm],
+        grid_terms=[[(0, scale * (1.0 - fm)), (1, scale * fm)]],
+        etas=[indminor - 1],
+        eta_terms=[[(0, 1.0 - minorfrac), (1, minorfrac)]],
+    )
 
 
 def _minor_noeta_section(ktab, indminor, minorfrac, scale):
@@ -256,14 +258,14 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
         """Evaluate a band's tau and pfrac in ONE kernel launch by
         stacking their tables side-by-side along g (each section's
         table zero-padded on the other half)."""
-        ngb = int(np.asarray(tau_secs[0].table).shape[1])
+        ngb = int(np.asarray(tau_secs[0].table).shape[-1])
 
         def pad(sec, left):
             tab = np.asarray(sec.table, np.float32)
             z = np.zeros_like(tab)
-            tab2 = (np.concatenate([tab, z], axis=1) if left
-                    else np.concatenate([z, tab], axis=1))
-            return Section(tab2, sec.rows, sec.weights)
+            tab2 = (np.concatenate([tab, z], axis=-1) if left
+                    else np.concatenate([z, tab], axis=-1))
+            return sec._replace(table=tab2)
 
         combined = ([pad(s, True) for s in tau_secs]
                     + [pad(s, False) for s in pfrac_secs])
@@ -274,18 +276,13 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
     def eta_major_section(band, col1, col2, rat_a, rat_a1, rat_b=None,
                           rat_b1=None, col1_b=None, col2_b=None,
                           has_b=False):
-        """Returns a LIST of sections: splitting the tropospheric (absa)
-        and stratospheric (absb) parts keeps each section's one-hot
-        build proportional to its own table height."""
-        absa = np.asarray(t[f"lw{band}_absa"])
-        rows, weights, rows_b, weights_b = _major_eta_rows_weights(
-            c, absa.shape[0], col1, col2, rat_a, rat_a1, rat_b, rat_b1,
+        """Returns a LIST of separable EtaSections (tropo absa +
+        optional strat absb) — see _major_eta_sections."""
+        return _major_eta_sections(
+            c, t[f"lw{band}_absa"],
+            t[f"lw{band}_absb"] if has_b else None,
+            col1, col2, rat_a, rat_a1, rat_b, rat_b1,
             col1_b=col1_b, col2_b=col2_b, has_b=has_b)
-        secs = [Section(absa, rows, weights)]
-        if has_b:
-            secs.append(Section(np.asarray(t[f"lw{band}_absb"]),
-                                rows_b, weights_b))
-        return secs
 
     # ---------------- band 1: h2o, minor N2 -------------------------------
     secs = [_major_noeta_section(c, t["lw1_absa"], t["lw1_absb"],
