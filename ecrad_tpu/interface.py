@@ -284,6 +284,12 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             flux = flux.replace(
                 lw_up_band=_indexed_band_sum(lw.up, spec_map, nspec),
                 lw_dn_band=_indexed_band_sum(lw.dn, spec_map, nspec))
+            if cfg.do_clear:
+                flux = flux.replace(
+                    lw_up_band_clear=_indexed_band_sum(
+                        lw_clear.up, spec_map, nspec),
+                    lw_dn_band_clear=_indexed_band_sum(
+                        lw_clear.dn, spec_map, nspec))
 
     if cfg.do_sw:
         if cfg.i_solver_sw == Solver.CLOUDLESS or cloud_props is None:
@@ -357,5 +363,14 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
                     sw.dn_diffuse + sw.dn_direct, spec_map, nspec),
                 sw_dn_direct_band=_indexed_band_sum(
                     sw.dn_direct, spec_map, nspec))
+            if cfg.do_clear:
+                flux = flux.replace(
+                    sw_up_band_clear=_indexed_band_sum(
+                        sw_clear.up, spec_map, nspec),
+                    sw_dn_band_clear=_indexed_band_sum(
+                        sw_clear.dn_diffuse + sw_clear.dn_direct,
+                        spec_map, nspec),
+                    sw_dn_direct_band_clear=_indexed_band_sum(
+                        sw_clear.dn_direct, spec_map, nspec))
 
     return flux

@@ -57,18 +57,32 @@ def save_fluxes(path: str, flux: Flux,
         "Total cloud cover diagnosed by longwave solver")
     add("cloud_cover_sw", ("column",), flux.cloud_cover_sw, "1",
         "Total cloud cover diagnosed by shortwave solver")
-    add("flux_dn_sw_surf_band", ("column", "band_sw"),
+    # surface spectral fluxes (reference names: radiation_save.F90:270-282)
+    add("spectral_flux_dn_sw_surf", ("column", "band_sw"),
         flux.sw_dn_surf_band, "W m-2",
-        "Surface downwelling shortwave flux in each band")
-    add("flux_dn_direct_sw_surf_band", ("column", "band_sw"),
+        "Spectral downwelling shortwave flux at surface")
+    add("spectral_flux_dn_direct_sw_surf", ("column", "band_sw"),
         flux.sw_dn_direct_surf_band, "W m-2",
-        "Surface downwelling direct shortwave flux in each band")
-    add("flux_dn_sw_surf_clear_band", ("column", "band_sw"),
+        "Spectral downwelling direct shortwave flux at surface")
+    add("spectral_flux_dn_sw_surf_clear", ("column", "band_sw"),
         flux.sw_dn_surf_clear_band, "W m-2",
-        "Surface clear-sky downwelling shortwave flux in each band")
+        "Spectral downwelling clear-sky shortwave flux at surface")
+    add("spectral_flux_dn_direct_sw_surf_clear", ("column", "band_sw"),
+        flux.sw_dn_direct_surf_clear_band, "W m-2",
+        "Spectral downwelling clear-sky direct shortwave flux at surface")
     add("flux_dn_lw_surf_band", ("column", "band_lw"),
         flux.lw_dn_surf_band, "W m-2",
         "Surface downwelling longwave flux in each band")
+    # canopy-top fluxes (radiation_save.F90 canopy_flux_*)
+    add("canopy_flux_dn_diffuse_sw_surf", ("column", "canopy_band_sw"),
+        flux.sw_dn_diffuse_surf_canopy, "W m-2",
+        "Surface downwelling diffuse shortwave flux in canopy bands")
+    add("canopy_flux_dn_direct_sw_surf", ("column", "canopy_band_sw"),
+        flux.sw_dn_direct_surf_canopy, "W m-2",
+        "Surface downwelling direct shortwave flux in canopy bands")
+    add("canopy_flux_dn_lw_surf", ("column", "canopy_band_lw"),
+        flux.lw_dn_surf_canopy, "W m-2",
+        "Surface downwelling longwave flux in canopy bands")
     # band-resolved profiles (do_save_spectral_flux)
     p3 = ("column", "half_level", "band_sw")
     add("spectral_flux_up_sw", p3, flux.sw_up_band, "W m-2",
@@ -77,11 +91,22 @@ def save_fluxes(path: str, flux: Flux,
         "Spectral downwelling shortwave flux")
     add("spectral_flux_dn_direct_sw", p3, flux.sw_dn_direct_band, "W m-2",
         "Spectral downwelling direct shortwave flux")
+    add("spectral_flux_up_sw_clear", p3, flux.sw_up_band_clear, "W m-2",
+        "Spectral clear-sky upwelling shortwave flux")
+    add("spectral_flux_dn_sw_clear", p3, flux.sw_dn_band_clear, "W m-2",
+        "Spectral clear-sky downwelling shortwave flux")
+    add("spectral_flux_dn_direct_sw_clear", p3,
+        flux.sw_dn_direct_band_clear, "W m-2",
+        "Spectral clear-sky downwelling direct shortwave flux")
     p3l = ("column", "half_level", "band_lw")
     add("spectral_flux_up_lw", p3l, flux.lw_up_band, "W m-2",
         "Spectral upwelling longwave flux")
     add("spectral_flux_dn_lw", p3l, flux.lw_dn_band, "W m-2",
         "Spectral downwelling longwave flux")
+    add("spectral_flux_up_lw_clear", p3l, flux.lw_up_band_clear, "W m-2",
+        "Spectral clear-sky upwelling longwave flux")
+    add("spectral_flux_dn_lw_clear", p3l, flux.lw_dn_band_clear, "W m-2",
+        "Spectral clear-sky downwelling longwave flux")
 
     write_netcdf(path, dims, variables, attrs,
                  global_attrs={"title":

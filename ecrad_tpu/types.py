@@ -308,6 +308,12 @@ class Flux:
     sw_up_band: Optional[jnp.ndarray] = None
     sw_dn_band: Optional[jnp.ndarray] = None
     sw_dn_direct_band: Optional[jnp.ndarray] = None
+    # clear-sky counterparts (radiation_save.F90 spectral_flux_*_clear)
+    lw_up_band_clear: Optional[jnp.ndarray] = None
+    lw_dn_band_clear: Optional[jnp.ndarray] = None
+    sw_up_band_clear: Optional[jnp.ndarray] = None
+    sw_dn_band_clear: Optional[jnp.ndarray] = None
+    sw_dn_direct_band_clear: Optional[jnp.ndarray] = None
 
     def net_lw(self) -> jnp.ndarray:
         return self.lw_dn - self.lw_up

@@ -114,3 +114,43 @@ def test_describe_config():
     text = describe_config(RadiationConfig())
     assert "i_solver_sw" in text and "MCICA" in text
     assert "cloud_fraction_threshold" in text
+
+
+def test_spectral_clear_and_canopy_outputs(tmp_path):
+    """Clear-sky spectral profiles + canopy-top fluxes reach the output
+    file under the reference variable names (radiation_save.F90)."""
+    import jax.numpy as jnp
+    from ecrad_tpu.io.netcdf import NetcdfFile
+    from ecrad_tpu.io.output import save_fluxes
+    from ecrad_tpu.types import Flux
+    ncol, nlev, nb = 3, 5, 14
+    f32 = lambda *s: jnp.ones(s, jnp.float32)
+    flux = Flux(
+        lw_up=f32(ncol, nlev + 1), lw_dn=f32(ncol, nlev + 1),
+        sw_up=f32(ncol, nlev + 1), sw_dn=f32(ncol, nlev + 1),
+        sw_dn_direct=f32(ncol, nlev + 1),
+        sw_up_band_clear=f32(ncol, nlev + 1, nb),
+        sw_dn_band_clear=f32(ncol, nlev + 1, nb),
+        sw_dn_direct_band_clear=f32(ncol, nlev + 1, nb),
+        lw_up_band_clear=f32(ncol, nlev + 1, 16),
+        lw_dn_band_clear=f32(ncol, nlev + 1, 16),
+        sw_dn_surf_band=f32(ncol, nb),
+        sw_dn_direct_surf_band=f32(ncol, nb),
+        sw_dn_diffuse_surf_canopy=f32(ncol, 6),
+        sw_dn_direct_surf_canopy=f32(ncol, 6),
+        lw_dn_surf_canopy=f32(ncol, 3),
+    )
+    path = tmp_path / "out.nc"
+    save_fluxes(str(path), flux)
+    with NetcdfFile(str(path)) as f:
+        for name in ("spectral_flux_up_sw_clear",
+                     "spectral_flux_dn_sw_clear",
+                     "spectral_flux_dn_direct_sw_clear",
+                     "spectral_flux_up_lw_clear",
+                     "spectral_flux_dn_lw_clear",
+                     "spectral_flux_dn_sw_surf",
+                     "spectral_flux_dn_direct_sw_surf",
+                     "canopy_flux_dn_diffuse_sw_surf",
+                     "canopy_flux_dn_direct_sw_surf",
+                     "canopy_flux_dn_lw_surf"):
+            assert f.exists(name), name
