@@ -201,47 +201,59 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
     g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_r, g_r)
     ref, trans, ref_dir, tdd, tdir = ts.sw_reftrans(
         mu0_b, od_r, ssa_r, g1, g2, g3)   # (ncol, nlev, nreg, ng)
+    # region-leading g-minor layout for the level scans: per-level
+    # slices are (nreg, ncol, ng) with big minor dims — (ncol, nreg, ng)
+    # states would pad the (nreg=3, ng) minor axes to (8, 128), ~3x
+    # memory/bandwidth waste, and the region mixes lower to convolutions
+    def gmin(x):
+        return jnp.transpose(x, (1, 2, 0, 3))      # (nlev, nreg, ncol, ng)
+
+    ref, trans, ref_dir, tdd, tdir = (gmin(x) for x in
+                                      (ref, trans, ref_dir, tdd, tdir))
+    # overlap matrices per interface: (nlev+1, nreg, nreg, ncol, 1)
+    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None]
+
+    def mix(vm_l, x):
+        """(nreg, nreg, ncol, 1) applied to (nreg, ncol, ng)."""
+        return (vm_l * x[None]).sum(axis=1)
 
     clear_lay = ~(cloud.fraction > 0.0)           # (ncol, nlev)
     # clear layers: region 1 only (others zeroed in the passes)
 
     # ---------------- upward pass: total albedo -------------------------
-    alb_surf = jnp.broadcast_to(albedo_diffuse[:, None, :],
-                                (ncol, nreg, ng))
+    alb_surf = jnp.broadcast_to(albedo_diffuse[None],
+                                (nreg, ncol, ng))
     albdir_surf = jnp.broadcast_to(
-        (mu0[:, None] * albedo_direct)[:, None, :], (ncol, nreg, ng))
+        (mu0[:, None] * albedo_direct)[None], (nreg, ncol, ng))
     # reference: surface albedo only in region 1 if bottom layer clear
-    bottom_cloudy = (~clear_lay[:, -1])[:, None, None]
-    reg_mask0 = jnp.zeros((ncol, nreg, ng), bool).at[:, 0, :].set(True)
-    alb_surf = jnp.where(bottom_cloudy | reg_mask0, alb_surf, 0.0)
-    albdir_surf = jnp.where(bottom_cloudy | reg_mask0, albdir_surf, 0.0)
+    bottom_cloudy = (~clear_lay[:, -1])[None, :, None]
+    reg0 = (jnp.arange(nreg) == 0)[:, None, None]
+    alb_surf = jnp.where(bottom_cloudy | reg0, alb_surf, 0.0)
+    albdir_surf = jnp.where(bottom_cloudy | reg0, albdir_surf, 0.0)
 
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
 
     def up_body(carry, lev):
-        alb, albdir = carry                        # (ncol, nreg, ng)
-        r = ref[:, lev]
-        t = trans[:, lev]
-        rd = ref_dir[:, lev]
-        td = tdd[:, lev]
-        tdir_l = tdir[:, lev]
+        alb, albdir = carry                        # (nreg, ncol, ng)
+        r = ref[lev]
+        t = trans[lev]
+        rd = ref_dir[lev]
+        td = tdd[lev]
+        tdir_l = tdir[lev]
         inv = 1.0 / (1.0 - alb * r)
         alb_below = r + t * t * alb * inv
         albdir_below = rd + (tdir_l * albdir + td * alb) * t * inv
-        is_clear = clear_lay[:, lev][:, None, None]
-        zero_regs = jnp.zeros_like(alb_below).at[:, 0].set(1.0) > 0.0
-        alb_below = jnp.where(is_clear & (~zero_regs), 0.0, alb_below)
-        albdir_below = jnp.where(is_clear & (~zero_regs), 0.0,
+        is_clear = clear_lay[:, lev][None, :, None]
+        alb_below = jnp.where(is_clear & (~reg0), 0.0, alb_below)
+        albdir_below = jnp.where(is_clear & (~reg0), 0.0,
                                  albdir_below)
         # mix through V at this interface unless this & above layers clear
         both_clear = (clear_lay[:, lev]
-                      & clear_prev[:, lev])[:, None, None]
-        vm = v_mat[:, lev]                         # (ncol, nreg, nreg)
-        alb_mixed = jnp.einsum("crs,csg->crg", jnp.swapaxes(vm, 1, 2),
-                               alb_below)
-        albdir_mixed = jnp.einsum("crs,csg->crg", jnp.swapaxes(vm, 1, 2),
-                                  albdir_below)
+                      & clear_prev[:, lev])[None, :, None]
+        vm_t = jnp.swapaxes(vm_g[lev], 0, 1)
+        alb_mixed = mix(vm_t, alb_below)
+        albdir_mixed = mix(vm_t, albdir_below)
         alb_new = jnp.where(both_clear, alb_below, alb_mixed)
         albdir_new = jnp.where(both_clear, albdir_below, albdir_mixed)
         return (alb_new, albdir_new), (alb, albdir)
@@ -249,32 +261,31 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
     levels_rev = jnp.arange(nlev - 1, -1, -1)
     (alb_top, albdir_top), (alb_hist, albdir_hist) = jax.lax.scan(
         up_body, (alb_surf, albdir_surf), levels_rev)
-    # alb_hist[k] = albedo at half-level below layer levels_rev[k]
-    # build (ncol, nlev+1, nreg, ng): albedo at each half-level
-    alb_below_layer = jnp.flip(jnp.moveaxis(alb_hist, 0, 1), 1)
-    albdir_below_layer = jnp.flip(jnp.moveaxis(albdir_hist, 0, 1), 1)
+    # alb_hist[k] = albedo at half-level below layer levels_rev[k];
+    # flip to (nlev, nreg, ncol, ng) indexed by layer
+    alb_below_layer = jnp.flip(alb_hist, 0)
+    albdir_below_layer = jnp.flip(albdir_hist, 0)
 
     # ---------------- downward pass --------------------------------------
-    init_dir = (incoming_sw[:, None, :]
-                * jnp.moveaxis(reg_fracs[:, 0, :], -1, -1)[:, :, None])
-    flux_dn0 = jnp.zeros((ncol, nreg, ng), dtype)
+    init_dir = (incoming_sw[None]
+                * jnp.moveaxis(reg_fracs[:, 0, :], 1, 0)[:, :, None])
+    flux_dn0 = jnp.zeros((nreg, ncol, ng), dtype)
     flux_up0 = init_dir * albdir_top
 
     def dn_body(carry, lev):
         flux_dn, direct_dn = carry
-        r = ref[:, lev]
-        t = trans[:, lev]
-        rd = ref_dir[:, lev]
-        td = tdd[:, lev]
-        tdir_l = tdir[:, lev]
-        alb_b = alb_below_layer[:, lev]       # at half-level lev+1
-        albdir_b = albdir_below_layer[:, lev]
+        r = ref[lev]
+        t = trans[lev]
+        rd = ref_dir[lev]
+        td = tdd[lev]
+        tdir_l = tdir[lev]
+        alb_b = alb_below_layer[lev]          # at half-level lev+1
+        albdir_b = albdir_below_layer[lev]
         inv = 1.0 / (1.0 - r * alb_b)
         fdn_new = (t * flux_dn
                    + direct_dn * (tdir_l * albdir_b * r + td)) * inv
         ddn_new = tdir_l * direct_dn
-        is_clear = clear_lay[:, lev][:, None, None]
-        reg0 = jnp.zeros_like(fdn_new).at[:, 0].set(1.0) > 0.0
+        is_clear = clear_lay[:, lev][None, :, None]
         fdn_new = jnp.where(is_clear & (~reg0), 0.0, fdn_new)
         ddn_new = jnp.where(is_clear & (~reg0), 0.0, ddn_new)
         fup_new = ddn_new * albdir_b + fdn_new * alb_b
@@ -283,10 +294,10 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
                                clear_lay[:, jnp.minimum(lev + 1,
                                                         nlev - 1)],
                                True)
-        both_clear = (clear_lay[:, lev] & next_clear)[:, None, None]
-        vm = v_mat[:, lev + 1]
-        fdn_mixed = jnp.einsum("crs,csg->crg", vm, fdn_new)
-        ddn_mixed = jnp.einsum("crs,csg->crg", vm, ddn_new)
+        both_clear = (clear_lay[:, lev] & next_clear)[None, :, None]
+        vm_l = vm_g[lev + 1]
+        fdn_mixed = mix(vm_l, fdn_new)
+        ddn_mixed = mix(vm_l, ddn_new)
         fdn_out = jnp.where(both_clear, fdn_new, fdn_mixed)
         ddn_out = jnp.where(both_clear, ddn_new, ddn_mixed)
         return (fdn_out, ddn_out), (fup_new, fdn_out, ddn_out)
@@ -295,14 +306,14 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
         dn_body, (flux_dn0, init_dir), jnp.arange(nlev))
     # assemble half-level fluxes summed over regions & g
     up_prof = jnp.concatenate(
-        [flux_up0.sum(1)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(2), 0, 1)], axis=1)
+        [flux_up0.sum(0)[:, None, :],
+         jnp.moveaxis(fup_hist.sum(1), 0, 1)], axis=1)
     dn_diff_prof = jnp.concatenate(
         [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(2), 0, 1)], axis=1)
+         jnp.moveaxis(fdn_hist.sum(1), 0, 1)], axis=1)
     dn_dir_prof = jnp.concatenate(
-        [init_dir.sum(1)[:, None, :],
-         jnp.moveaxis(ddn_hist.sum(2), 0, 1)], axis=1) \
+        [init_dir.sum(0)[:, None, :],
+         jnp.moveaxis(ddn_hist.sum(1), 0, 1)], axis=1) \
         * mu0[:, None, None]
 
     total = SwFluxes(up=up_prof, dn_diffuse=dn_diff_prof,
@@ -391,53 +402,58 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
                 od_t, planck_top, planck_bot)
             rr = jnp.zeros_like(tt)
         refs.append(rr), transs.append(tt), sups.append(su), sdns.append(sd)
-    ref = jnp.stack(refs, axis=2)      # (ncol, nlev, nreg, ng)
-    trans = jnp.stack(transs, axis=2)
-    sup = jnp.stack(sups, axis=2)
-    sdn = jnp.stack(sdns, axis=2)
-    sup_clear = sup[:, :, 0, :]
-    sdn_clear = sdn[:, :, 0, :]
-    trans_clear = trans[:, :, 0, :]
-    ref_clear = ref[:, :, 0, :]
+    # region-leading g-minor layout (see the SW solver): per-level
+    # slices (nreg, ncol, ng) keep the big dims minor
+    ref = jnp.stack([jnp.moveaxis(x, 1, 0) for x in refs], axis=1)
+    trans = jnp.stack([jnp.moveaxis(x, 1, 0) for x in transs], axis=1)
+    sup = jnp.stack([jnp.moveaxis(x, 1, 0) for x in sups], axis=1)
+    sdn = jnp.stack([jnp.moveaxis(x, 1, 0) for x in sdns], axis=1)
+    # (nlev, nreg, ncol, ng)
+    sup_clear = jnp.moveaxis(sup[:, 0], 0, 1)
+    sdn_clear = jnp.moveaxis(sdn[:, 0], 0, 1)
+    trans_clear = jnp.moveaxis(trans[:, 0], 0, 1)
+    ref_clear = jnp.moveaxis(ref[:, 0], 0, 1)
 
     # scale sources by region fraction (cloudy layers)
-    fr = reg_fracs[:, :, :, None]      # (ncol, nlev, nreg, 1)
-    not_clear = (~clear_lay)[:, :, None, None]
+    fr = jnp.transpose(reg_fracs, (1, 2, 0))[..., None]  # (nlev,nreg,ncol,1)
+    not_clear = jnp.moveaxis(~clear_lay, 1, 0)[:, None, :, None]
     sup = jnp.where(not_clear, fr * sup, sup)
     sdn = jnp.where(not_clear, fr * sdn, sdn)
-    reg0_mask3 = (jnp.arange(nreg) == 0)[None, :, None]
+    reg0 = (jnp.arange(nreg) == 0)[:, None, None]
     # clear layers: zero regions 2..3
-    sup = jnp.where(not_clear | reg0_mask3[None], sup, 0.0)
-    sdn = jnp.where(not_clear | reg0_mask3[None], sdn, 0.0)
-    ref = jnp.where(not_clear | reg0_mask3[None], ref, 0.0)
-    trans = jnp.where(not_clear | reg0_mask3[None], trans, 0.0)
+    sup = jnp.where(not_clear | reg0[None], sup, 0.0)
+    sdn = jnp.where(not_clear | reg0[None], sdn, 0.0)
+    ref = jnp.where(not_clear | reg0[None], ref, 0.0)
+    trans = jnp.where(not_clear | reg0[None], trans, 0.0)
+    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None]
+    um_g = jnp.transpose(u_mat, (1, 2, 3, 0))[..., None]
+
+    def mix(vm_l, x):
+        return (vm_l * x[None]).sum(axis=1)
 
     # ---------------- upward pass -----------------------------------------
-    src_surf = reg_fracs[:, -1, :, None] * emission[:, None, :]
-    alb_surf = jnp.broadcast_to(albedo[:, None, :], (ncol, nreg, ng))
+    src_surf = jnp.moveaxis(reg_fracs[:, -1, :], 1, 0)[:, :, None] \
+        * emission[None]
+    alb_surf = jnp.broadcast_to(albedo[None], (nreg, ncol, ng))
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
 
     def up_body(carry, lev):
-        alb, src = carry
-        r = ref[:, lev]
-        t = trans[:, lev]
-        su = sup[:, lev]
-        sd = sdn[:, lev]
+        alb, src = carry                           # (nreg, ncol, ng)
+        r = ref[lev]
+        t = trans[lev]
+        su = sup[lev]
+        sd = sdn[lev]
         inv = 1.0 / (1.0 - alb * r)
         alb_below = r + t * t * alb * inv
         src_below = su + t * (src + alb * sd) * inv
-        is_clear = clear_lay[:, lev][:, None, None]
-        reg0 = (jnp.arange(nreg) == 0)[None, :, None]
+        is_clear = clear_lay[:, lev][None, :, None]
         alb_below = jnp.where(is_clear & (~reg0), 0.0, alb_below)
         src_below = jnp.where(is_clear & (~reg0), 0.0, src_below)
         both_clear = (clear_lay[:, lev]
-                      & clear_prev[:, lev])[:, None, None]
-        vm = v_mat[:, lev]
-        um = u_mat[:, lev]
-        alb_mixed = jnp.einsum("crs,csg->crg", jnp.swapaxes(vm, 1, 2),
-                               alb_below)
-        src_mixed = jnp.einsum("crs,csg->crg", um, src_below)
+                      & clear_prev[:, lev])[None, :, None]
+        alb_mixed = mix(jnp.swapaxes(vm_g[lev], 0, 1), alb_below)
+        src_mixed = mix(um_g[lev], src_below)
         alb_new = jnp.where(both_clear, alb_below, alb_mixed)
         src_new = jnp.where(both_clear, src_below, src_mixed)
         return (alb_new, src_new), (alb, src)
@@ -445,42 +461,40 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
     levels_rev = jnp.arange(nlev - 1, -1, -1)
     (alb_top, src_top), (alb_hist, src_hist) = jax.lax.scan(
         up_body, (alb_surf, src_surf), levels_rev)
-    alb_below_layer = jnp.flip(jnp.moveaxis(alb_hist, 0, 1), 1)
-    src_below_layer = jnp.flip(jnp.moveaxis(src_hist, 0, 1), 1)
+    alb_below_layer = jnp.flip(alb_hist, 0)   # (nlev, nreg, ncol, ng)
+    src_below_layer = jnp.flip(src_hist, 0)
 
     # ---------------- downward pass ---------------------------------------
-    flux_dn0 = jnp.zeros((ncol, nreg, ng), dtype)
+    flux_dn0 = jnp.zeros((nreg, ncol, ng), dtype)
 
     def dn_body(carry, lev):
         flux_dn = carry
-        r = ref[:, lev]
-        t = trans[:, lev]
-        sd = sdn[:, lev]
-        alb_b = alb_below_layer[:, lev]
-        src_b = src_below_layer[:, lev]
+        r = ref[lev]
+        t = trans[lev]
+        sd = sdn[lev]
+        alb_b = alb_below_layer[lev]
+        src_b = src_below_layer[lev]
         inv = 1.0 / (1.0 - r * alb_b)
         fdn_new = (t * flux_dn + r * src_b + sd) * inv
-        is_clear = clear_lay[:, lev][:, None, None]
-        reg0 = (jnp.arange(nreg) == 0)[None, :, None]
+        is_clear = clear_lay[:, lev][None, :, None]
         fdn_new = jnp.where(is_clear & (~reg0), 0.0, fdn_new)
         fup_new = src_b + fdn_new * alb_b
         next_clear = jnp.where(lev + 1 < nlev,
                                clear_lay[:, jnp.minimum(lev + 1,
                                                         nlev - 1)], True)
-        both_clear = (clear_lay[:, lev] & next_clear)[:, None, None]
-        vm = v_mat[:, lev + 1]
-        fdn_mixed = jnp.einsum("crs,csg->crg", vm, fdn_new)
+        both_clear = (clear_lay[:, lev] & next_clear)[None, :, None]
+        fdn_mixed = mix(vm_g[lev + 1], fdn_new)
         fdn_out = jnp.where(both_clear, fdn_new, fdn_mixed)
         return fdn_out, (fup_new, fdn_out)
 
     _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, flux_dn0,
                                            jnp.arange(nlev))
     up_prof = jnp.concatenate(
-        [src_top.sum(1)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(2), 0, 1)], axis=1)
+        [src_top.sum(0)[:, None, :],
+         jnp.moveaxis(fup_hist.sum(1), 0, 1)], axis=1)
     dn_prof = jnp.concatenate(
         [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(2), 0, 1)], axis=1)
+         jnp.moveaxis(fdn_hist.sum(1), 0, 1)], axis=1)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     # ---------------- clear sky -------------------------------------------
