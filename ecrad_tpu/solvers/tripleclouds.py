@@ -9,10 +9,14 @@ Reference parity:
     radiation_tripleclouds_lw.F90 (upward albedo/source accumulation
     with V/U region exchange at interfaces, then downward flux pass)
 
-State layout: (ncol, nreg, ng) with g innermost (VPU lanes); level
-recurrences are jax.lax.scan (region coupling at interfaces makes the
-recurrence matrix-valued, so the Moebius-scan trick of the ICA adding
-does not apply).
+State layout: region-leading (nreg, ncol, ng) — the big (ncol, ng)
+dims stay minor so TPU (8, 128) tiling pads nothing; an (ncol, nreg,
+ng) state would pad its (3, ng) minor axes ~3x and the region-exchange
+einsums would lower to convolutions. Level recurrences are
+jax.lax.scan (region coupling at interfaces makes the recurrence
+matrix-valued, so the Moebius-scan trick of the ICA adding does not
+apply); per-level arrays are indexed by the scan counter — pre-stacked
+xs were measured slower (see CLAUDE.md).
 """
 from __future__ import annotations
 
