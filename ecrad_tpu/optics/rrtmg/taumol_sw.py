@@ -120,36 +120,49 @@ def taumol_sw(c2: Coeffs, t: dict, use_pallas=None):
         ]
 
     def eta_tropo_section(absa, col1_2d, col2_2d, strrat):
-        """Tropospheric 9-eta major lookup; also returns 2D (js, fs) for
-        the solar-source logic."""
+        """Tropospheric 9-eta major lookup as a separable EtaSection
+        (grid x eta one-hots; see ops/gather_interp.py). Note +9 on the
+        flattened row = jt+1, i.e. a grid offset, and +1 an eta offset —
+        the (fac corner) x (eta weight) product is exactly separable.
+        Also returns 2D (js, fs) for the solar-source logic."""
+        from ...ops.gather_interp import EtaSection
         speccomb2 = col1_2d + strrat * col2_2d
         js2, fs2 = _eta(col1_2d, speccomb2, 8.0)
         js, fs = fl(js2), fl(fs2)
         sc = fl(speccomb2) * tropf
-        row0 = ((jp - 1) * 5 + (jt - 1)) * 9 + js
-        row1 = (jp * 5 + (jt1 - 1)) * 9 + js
-        rows, weights = [], []
-        for row, fa, fb in ((row0, f00, f10), (row1, f01, f11)):
-            r = jnp.where(trop, row, 0)
-            rows += [r, r + 9, r + 1, r + 10]
-            weights += [sc * (1.0 - fs) * fa, sc * (1.0 - fs) * fb,
-                        sc * fs * fa, sc * fs * fb]
-        return Section(np.asarray(absa), rows, weights), js2, fs2
+        grid0 = (jp - 1) * 5 + (jt - 1)
+        grid1 = jp * 5 + (jt1 - 1)
+        ng_band = np.asarray(absa).shape[-1]
+        sec = EtaSection(
+            np.asarray(absa).reshape(-1, 9, ng_band),
+            grids=[jnp.where(trop, grid0, 0), jnp.where(trop, grid1, 0)],
+            grid_terms=[[(0, sc * f00), (1, sc * f10)],
+                        [(0, sc * f01), (1, sc * f11)]],
+            etas=[js, js],
+            eta_terms=[[(0, 1.0 - fs), (1, fs)],
+                       [(0, 1.0 - fs), (1, fs)]],
+        )
+        return sec, js2, fs2
 
     def eta_strat_section(absb, col1_2d, col2_2d, strrat):
+        from ...ops.gather_interp import EtaSection
         speccomb2 = col1_2d + strrat * col2_2d
         js2, fs2 = _eta(col1_2d, speccomb2, 4.0)
         js, fs = fl(js2), fl(fs2)
         sc = fl(speccomb2) * stratf
-        row0 = ((jp - 13) * 5 + (jt - 1)) * 5 + js
-        row1 = ((jp - 12) * 5 + (jt1 - 1)) * 5 + js
-        rows, weights = [], []
-        for row, fa, fb in ((row0, f00, f10), (row1, f01, f11)):
-            r = jnp.where(trop, 0, row)
-            rows += [r, r + 5, r + 1, r + 6]
-            weights += [sc * (1.0 - fs) * fa, sc * (1.0 - fs) * fb,
-                        sc * fs * fa, sc * fs * fb]
-        return Section(np.asarray(absb), rows, weights), js2, fs2
+        grid0 = (jp - 13) * 5 + (jt - 1)
+        grid1 = (jp - 12) * 5 + (jt1 - 1)
+        ng_band = np.asarray(absb).shape[-1]
+        sec = EtaSection(
+            np.asarray(absb).reshape(-1, 5, ng_band),
+            grids=[jnp.where(trop, 0, grid0), jnp.where(trop, 0, grid1)],
+            grid_terms=[[(0, sc * f00), (1, sc * f10)],
+                        [(0, sc * f01), (1, sc * f11)]],
+            etas=[js, js],
+            eta_terms=[[(0, 1.0 - fs), (1, fs)],
+                       [(0, 1.0 - fs), (1, fs)]],
+        )
+        return sec, js2, fs2
 
     def noeta_tropo_section(absa, col_2d):
         w = fl(col_2d) * tropf
