@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -162,6 +163,24 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
               aerosol: Optional[Aerosol] = None) -> Flux:
     """Compute radiative fluxes (radiation_interface.F90:175-473)."""
     cfg = setup.config
+    dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+
+    # cast every floating input to the configured compute dtype up front
+    # so float64 validation runs don't mix precisions inside scan carries
+    def _cast(tree):
+        if tree is None:
+            return None
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jnp.floating)
+            else x, tree)
+
+    single_level = _cast(single_level)
+    thermodynamics = _cast(thermodynamics)
+    gas = _cast(gas)
+    cloud = _cast(cloud)
+    aerosol = _cast(aerosol)
     sw_alb_diff, sw_alb_dir, lw_albedo = get_albedos(setup, single_level)
 
     if cfg.i_gas_model == GasModel.MONOCHROMATIC:
@@ -183,7 +202,7 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
             spectral_solar_scaling=(single_level.spectral_solar_scaling
                                     if cfg.use_spectral_solar_scaling
                                     else None),
-            dtype=jnp.float32 if cfg.dtype == "float32" else jnp.float64)
+            dtype=dtype)
 
     # Tiled/canopy surfaces supply the surface LW emission directly
     # (radiation_ifs_rrtm.F90:436-443); it overrides Planck x (1-albedo).

@@ -1,3 +1,4 @@
-from .gather_interp import Section, eval_sections, use_pallas_default
+from .gather_interp import (EtaSection, Section, eval_sections,
+                            use_pallas_default)
 
-__all__ = ["Section", "eval_sections", "use_pallas_default"]
+__all__ = ["EtaSection", "Section", "eval_sections", "use_pallas_default"]

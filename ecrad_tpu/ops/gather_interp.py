@@ -285,7 +285,10 @@ def eval_sections(sections: List[Section], n: int,
     """
     g = int(np.asarray(sections[0].table).shape[-1])
     if use_pallas is None:
-        use_pallas = use_pallas_default()
+        # Mosaic lowers the kernel in f32; float64 (x64 validation runs)
+        # uses the fallback
+        use_pallas = (use_pallas_default()
+                      and jnp.dtype(dtype) != jnp.float64)
     if use_pallas:
         return _eval_sections_pallas(sections, g, n, dtype, tile)
     return _eval_sections_reference(sections, g, dtype)

