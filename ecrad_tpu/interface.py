@@ -257,10 +257,16 @@ def radiation(setup: RadiationSetup, single_level: SingleLevel,
 
     if cfg.do_lw:
         if cfg.i_solver_lw == Solver.CLOUDLESS or cloud_props is None:
-            lw = solver_cloudless_lw(od_lw, ssa_lw, g_lw, go.planck_hl,
-                                     go.lw_emission, lw_albedo,
-                                     do_scattering=lw_scat_clear)
+            lw, t_clear = solver_cloudless_lw(
+                od_lw, ssa_lw, g_lw, go.planck_hl, go.lw_emission,
+                lw_albedo, do_scattering=lw_scat_clear, want_trans=True)
             lw_clear = lw
+            if cfg.do_lw_derivatives:
+                # ICA form on the clear transmittance
+                # (radiation_cloudless_lw.F90:166-171)
+                from .solvers.lw_derivatives import lw_derivatives_ica
+                flux = flux.replace(lw_derivatives=lw_derivatives_ica(
+                    t_clear, lw.up[:, -1, :]))
         else:
             from .solvers.dispatch import solve_lw
             lw, lw_clear, extras_lw = solve_lw(

@@ -30,9 +30,12 @@ class SwFluxes(NamedTuple):
 
 
 def solver_cloudless_lw(od, ssa, g, planck_hl, emission, albedo,
-                        do_scattering: bool) -> LwFluxes:
+                        do_scattering: bool, want_trans: bool = False):
     """od/ssa/g: (ncol, nlev, ng); planck_hl: (ncol, nlev+1, ng);
-    emission/albedo: (ncol, ng)."""
+    emission/albedo: (ncol, ng).
+
+    With want_trans the per-layer diffuse transmittance is returned too
+    (for the ICA LW derivatives, radiation_cloudless_lw.F90:169)."""
     planck_top = planck_hl[:, :-1, :]
     planck_bot = planck_hl[:, 1:, :]
     if do_scattering:
@@ -45,7 +48,10 @@ def solver_cloudless_lw(od, ssa, g, planck_hl, emission, albedo,
             od, planck_top, planck_bot)
         up, dn = lw_no_scattering_fluxes(trans, src_up, src_dn,
                                          emission, albedo)
-    return LwFluxes(up=up, dn=dn)
+    fluxes = LwFluxes(up=up, dn=dn)
+    if want_trans:
+        return fluxes, trans
+    return fluxes
 
 
 def solver_cloudless_sw(od, ssa, g, incoming_toa, cos_sza,

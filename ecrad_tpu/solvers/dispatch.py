@@ -28,24 +28,27 @@ def solve_lw(setup, single_level, thermodynamics, cloud, cloud_props,
         extras["cloud_cover_lw"] = tcc
         extras.update(mcica_extras)
     elif cfg.i_solver_lw == Solver.HOMOGENEOUS:
-        total, clear = solver_homogeneous_lw(
+        total, clear, homog_extras = solver_homogeneous_lw(
             cfg, band_from_g, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, planck_hl, emission, albedo)
         extras["cloud_cover_lw"] = (cloud.fraction
                                     >= cfg.cloud_fraction_threshold
                                     ).any(axis=1).astype(od.dtype)
+        extras.update(homog_extras)
     elif cfg.i_solver_lw == Solver.TRIPLECLOUDS:
         from .tripleclouds import solver_tripleclouds_lw
-        total, clear, tcc = solver_tripleclouds_lw(
+        total, clear, tcc, tc_extras = solver_tripleclouds_lw(
             setup, single_level, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, planck_hl, emission, albedo)
         extras["cloud_cover_lw"] = tcc
+        extras.update(tc_extras)
     elif cfg.i_solver_lw == Solver.SPARTACUS:
         from .spartacus_lw import solver_spartacus_lw
-        total, clear, tcc = solver_spartacus_lw(
+        total, clear, tcc, sp_extras = solver_spartacus_lw(
             setup, single_level, thermodynamics, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, planck_hl, emission, albedo)
         extras["cloud_cover_lw"] = tcc
+        extras.update(sp_extras)
     else:
         raise NotImplementedError(cfg.i_solver_lw)
     return total, clear, extras

@@ -49,8 +49,9 @@ def solver_homogeneous_lw(config: RadiationConfig, band_from_g, cloud,
                           od, ssa, g, od_cloud, ssa_cloud, g_cloud,
                           planck_hl, emission, albedo):
     do_clear_scat = config.do_lw_aerosol_scattering
-    clear = solver_cloudless_lw(od, ssa, g, planck_hl, emission, albedo,
-                                do_scattering=do_clear_scat)
+    clear, t_clear = solver_cloudless_lw(
+        od, ssa, g, planck_hl, emission, albedo,
+        do_scattering=do_clear_scat, want_trans=True)
     cloud_mask = (cloud.fraction
                   >= config.cloud_fraction_threshold)[..., None]
     od_t, ssa_t, g_t = combine_cloud_gas_lw(
@@ -67,4 +68,15 @@ def solver_homogeneous_lw(config: RadiationConfig, band_from_g, cloud,
         t, su, sd = ts.lw_no_scattering_transmittance(od_t, planck_top,
                                                       planck_bot)
         up, dn = lw_no_scattering_fluxes(t, su, sd, emission, albedo)
-    return LwFluxes(up=up, dn=dn), clear
+    total = LwFluxes(up=up, dn=dn)
+    extras = {}
+    if config.do_lw_derivatives:
+        # all-sky transmittance for columns with cloud, clear-sky
+        # otherwise (radiation_homogeneous_lw.F90:301-307)
+        from .lw_derivatives import lw_derivatives_ica
+        col_cloudy = cloud_mask.any(axis=1)          # (ncol, 1)
+        deriv_total = lw_derivatives_ica(t, up[:, -1, :])
+        deriv_clear = lw_derivatives_ica(t_clear, clear.up[:, -1, :])
+        extras["lw_derivatives"] = jnp.where(col_cloudy, deriv_total,
+                                             deriv_clear)
+    return total, clear, extras

@@ -1,24 +1,95 @@
 """Longwave flux derivatives for Hogan & Bozzo (2015) approximate updates.
 
 Reference parity: radiation/radiation_lw_derivatives.F90 — the derivative
-of upwelling flux w.r.t. its surface value: per-g normalized surface flux
-propagated up through the layer transmittances, summed over g. The
-reference's upward loop is a reverse cumulative product over levels.
+of upwelling broadband flux w.r.t. its surface value, computed from the
+surface spectral fluxes and layer transmittances:
+
+  - calc_lw_derivatives_ica (:42): per-g normalized surface flux
+    propagated up through scalar layer transmittances (McICA,
+    Homogeneous, Cloudless).
+  - calc_lw_derivatives_region (:199): multi-region solvers without 3D
+    effects (Tripleclouds) — overlap matrix U at each interface, then
+    per-region scalar transmittance.
+  - calc_lw_derivatives_matrix (:137): multi-region solvers with full
+    transmittance matrices (SPARTACUS).
+
+The reference's per-column upward loops become lax.scan over levels with
+all columns/g-points batched; region-coupled forms use the g-minor
+(nreg, ncol, ng) layout of the Tripleclouds/SPARTACUS solvers.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _normalized_surface_flux(flux_up_surf):
+    total = jnp.maximum(flux_up_surf.sum(-1, keepdims=True), 1e-30)
+    return flux_up_surf / total
 
 
 def lw_derivatives_ica(transmittance, flux_up_surf):
     """transmittance (ncol, nlev, ng) TOA-first; flux_up_surf (ncol, ng).
     Returns (ncol, nlev+1) derivatives (surface value = 1)."""
-    total = jnp.maximum(flux_up_surf.sum(-1, keepdims=True), 1e-30)
-    norm = flux_up_surf / total                     # (ncol, ng)
+    norm = _normalized_surface_flux(flux_up_surf)   # (ncol, ng)
     # P(l) = prod_{j >= l} trans(j): reverse cumprod along levels
     rev = jnp.flip(transmittance, axis=1)
     cum = jnp.cumprod(rev, axis=1)
     pprod = jnp.flip(cum, axis=1)                   # (ncol, nlev, ng)
     deriv_levels = (norm[:, None, :] * pprod).sum(-1)  # (ncol, nlev)
     ones = jnp.ones((transmittance.shape[0], 1), transmittance.dtype)
+    return jnp.concatenate([deriv_levels, ones], axis=1)
+
+
+def lw_derivatives_region(trans_g, um_g, flux_up_surf):
+    """Region form (radiation_lw_derivatives.F90:199-257).
+
+    trans_g: (nlev, nreg, ncol, ng) per-region diffuse transmittance
+      (g-minor layout, TOA-first as in the Tripleclouds solver).
+    um_g: (nlev+1, nreg, nreg, ncol, 1) upward overlap matrices per
+      interface (interface i sits above layer i).
+    flux_up_surf: (ncol, ng) surface spectral up-flux summed over regions.
+    Returns (ncol, nlev+1)."""
+    nlev, nreg, ncol, ng = trans_g.shape
+    norm = _normalized_surface_flux(flux_up_surf)
+    # surface treated as a single clear-sky layer: region 1 only
+    v0 = jnp.zeros((nreg, ncol, ng), trans_g.dtype).at[0].set(norm)
+
+    def body(v, xs):
+        t_l, um_l = xs
+        # overlap at the interface below this layer, then transmittance
+        v = (um_l * v[None]).sum(axis=1)
+        v = t_l * v
+        return v, v.sum(axis=(0, 2))
+
+    # upward sweep: layer nlev-1 uses U at interface nlev, ..., layer 0
+    # uses U at interface 1
+    _, derivs = jax.lax.scan(
+        body, v0, (jnp.flip(trans_g, 0), jnp.flip(um_g[1:], 0)))
+    deriv_levels = jnp.flip(jnp.moveaxis(derivs, 0, 1), 1)  # (ncol, nlev)
+    ones = jnp.ones((ncol, 1), trans_g.dtype)
+    return jnp.concatenate([deriv_levels, ones], axis=1)
+
+
+def lw_derivatives_matrix(trans_g, um_g, flux_up_surf):
+    """Matrix form (radiation_lw_derivatives.F90:137-196).
+
+    trans_g: (nlev, nreg, nreg, ncol, ng) layer transmittance matrices
+      (g-minor layout as in the SPARTACUS solver).
+    um_g/flux_up_surf: as in lw_derivatives_region.
+    Returns (ncol, nlev+1)."""
+    nlev, nreg, _, ncol, ng = trans_g.shape
+    norm = _normalized_surface_flux(flux_up_surf)
+    v0 = jnp.zeros((nreg, ncol, ng), trans_g.dtype).at[0].set(norm)
+
+    def body(v, xs):
+        t_l, um_l = xs
+        v = (um_l * v[None]).sum(axis=1)
+        v = (t_l * v[None, :]).sum(axis=1)          # mat x vec over regions
+        return v, v.sum(axis=(0, 2))
+
+    _, derivs = jax.lax.scan(
+        body, v0, (jnp.flip(trans_g, 0), jnp.flip(um_g[1:], 0)))
+    deriv_levels = jnp.flip(jnp.moveaxis(derivs, 0, 1), 1)
+    ones = jnp.ones((ncol, 1), trans_g.dtype)
     return jnp.concatenate([deriv_levels, ones], axis=1)

@@ -384,6 +384,15 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                          fdn_hist.sum(1)], axis=0), 0, 1)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
+    extras = {}
+    if cfg.do_lw_derivatives:
+        # matrix form (radiation_spartacus_lw.F90:1057-1066): propagate
+        # the normalized surface spectral flux up through the full layer
+        # transmittance matrices and the U overlap at each interface
+        from .lw_derivatives import lw_derivatives_matrix
+        extras["lw_derivatives"] = lw_derivatives_matrix(
+            trans, um_g, up_prof[:, -1, :])
+
     # ---------------- clear sky -------------------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes
     if cfg.do_lw_aerosol_scattering:
@@ -392,4 +401,4 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         up_c, dn_c = lw_no_scattering_fluxes(tc, suc, sdc, emission,
                                              albedo)
     clear = LwFluxes(up=up_c, dn=dn_c)
-    return total, clear, tcc
+    return total, clear, tcc, extras

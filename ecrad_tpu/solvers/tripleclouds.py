@@ -501,6 +501,14 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
          jnp.moveaxis(fdn_hist.sum(1), 0, 1)], axis=1)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
+    extras = {}
+    if cfg.do_lw_derivatives:
+        # region form (radiation_tripleclouds_lw.F90:519-528): surface
+        # spectral flux is the region sum of the lowest-interface up-flux
+        from .lw_derivatives import lw_derivatives_region
+        extras["lw_derivatives"] = lw_derivatives_region(
+            trans, um_g, up_prof[:, -1, :])
+
     # ---------------- clear sky -------------------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes
     if cfg.do_lw_aerosol_scattering:
@@ -510,4 +518,4 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         up_c, dn_c = lw_no_scattering_fluxes(trans_clear, sup_clear,
                                              sdn_clear, emission, albedo)
     clear = LwFluxes(up=up_c, dn=dn_c)
-    return total, clear, tcc
+    return total, clear, tcc, extras

@@ -96,5 +96,8 @@ def test_lw_derivatives_close(results):
         pytest.skip("lw derivatives not computed")
     a = np.asarray(flux.lw_derivatives)
     b = ref.read("lw_derivative")
-    # statistical quantity via transmittances; modest tolerance
+    # statistical quantity via transmittances; modest tolerance, but also
+    # bound the worst column so a few badly-wrong columns cannot hide in
+    # the mean (measured: mean ~0.007, max ~0.07 from McICA RNG noise)
     assert np.abs(a - b).mean() < 0.02
+    assert np.abs(a - b).max() < 0.15
