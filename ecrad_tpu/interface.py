@@ -157,11 +157,95 @@ def _canopy_sum(flux_g, band_from_g, imap, weights):
     return band_sums @ w.T
 
 
+#: flux fields carrying a level axis (axis 1), flipped back for
+#: reversed-orientation inputs (radiation_reverse,
+#: radiation_interface.F90:475-617)
+_LEVEL_FLUX_FIELDS = (
+    "lw_up", "lw_dn", "sw_up", "sw_dn", "sw_dn_direct",
+    "lw_up_clear", "lw_dn_clear", "sw_up_clear", "sw_dn_clear",
+    "sw_dn_direct_clear",
+    "lw_up_band", "lw_dn_band", "sw_up_band", "sw_dn_band",
+    "sw_dn_direct_band",
+    "lw_up_band_clear", "lw_dn_band_clear", "sw_up_band_clear",
+    "sw_dn_band_clear", "sw_dn_direct_band_clear",
+    "lw_derivatives",
+)
+
+
 def radiation(setup: RadiationSetup, single_level: SingleLevel,
               thermodynamics: Thermodynamics, gas: GasConcs,
               cloud: Optional[Cloud] = None,
               aerosol: Optional[Aerosol] = None) -> Flux:
-    """Compute radiative fluxes (radiation_interface.F90:175-473)."""
+    """Compute radiative fluxes (radiation_interface.F90:175-473).
+
+    Height-increasing (pressure-decreasing) inputs are handled the way
+    the reference handles them inside radiation() itself
+    (radiation_interface.F90:283-290): every level-bearing input is
+    flipped, the TOA-first pipeline runs, and the flux profiles are
+    flipped back.
+
+    When pressure_hl is concrete (eager callers, the driver) the
+    orientation check is a Python bool, the canonical orientation skips
+    all flips entirely, and a reversed input is flipped with plain
+    jnp.flip — bit-identical to running the canonical orientation.
+    Under jit the check is a traced scalar select; that path is correct
+    but only ulp-exact: XLA's CPU backend unswitches the uniform select
+    predicate into two loop versions whose codegen (FMA contraction)
+    can differ in the last bits (measured <= 1e-3 W/m2 on meridian
+    fluxes, far below the golden-test tolerances)."""
+    phl = thermodynamics.pressure_hl
+    if not isinstance(phl, jax.core.Tracer):
+        if not bool(phl[0, 1] < phl[0, 0]):
+            return _radiation_oriented(setup, single_level,
+                                       thermodynamics, gas, cloud,
+                                       aerosol)
+        is_rev = True
+
+        def flip(x, axis=1):
+            return None if x is None else jnp.flip(x, axis)
+    else:
+        is_rev = phl[0, 1] < phl[0, 0]
+
+        def flip(x, axis=1):
+            if x is None:
+                return None
+            return jnp.where(is_rev, jnp.flip(x, axis), x)
+
+    thermodynamics = thermodynamics.replace(
+        pressure_hl=flip(phl),
+        temperature_hl=flip(thermodynamics.temperature_hl),
+        h2o_sat_liq=flip(thermodynamics.h2o_sat_liq))
+    gas = gas.replace(mixing_ratio=flip(gas.mixing_ratio))
+    if cloud is not None:
+        cloud = cloud.replace(
+            q_liq=flip(cloud.q_liq), q_ice=flip(cloud.q_ice),
+            re_liq=flip(cloud.re_liq), re_ice=flip(cloud.re_ice),
+            fraction=flip(cloud.fraction),
+            fractional_std=flip(cloud.fractional_std),
+            overlap_param=flip(cloud.overlap_param),
+            inv_cloud_effective_size=flip(
+                cloud.inv_cloud_effective_size),
+            inv_inhom_effective_size=flip(
+                cloud.inv_inhom_effective_size))
+    if aerosol is not None:
+        aerosol = aerosol.replace(
+            mixing_ratio=flip(aerosol.mixing_ratio),
+            od_sw=flip(aerosol.od_sw), ssa_sw=flip(aerosol.ssa_sw),
+            g_sw=flip(aerosol.g_sw), od_lw=flip(aerosol.od_lw),
+            ssa_lw=flip(aerosol.ssa_lw))
+
+    flux = _radiation_oriented(setup, single_level, thermodynamics, gas,
+                               cloud, aerosol)
+    return flux.replace(**{
+        name: flip(getattr(flux, name))
+        for name in _LEVEL_FLUX_FIELDS
+        if getattr(flux, name) is not None})
+
+
+def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
+                        thermodynamics: Thermodynamics, gas: GasConcs,
+                        cloud: Optional[Cloud] = None,
+                        aerosol: Optional[Aerosol] = None) -> Flux:
     cfg = setup.config
     dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
 
