@@ -232,7 +232,21 @@ def _chi_adjust(col, coldry, ref, thresh, base, expo):
 
 
 def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
-    """All 16 LW bands. Returns (tau, pfrac), each (ncol, nlev, 140)."""
+    """All 16 LW bands. Returns (tau, pfrac), each (ncol, nlev, 140).
+
+    On TPU in f32 this dispatches to the fused all-band kernel
+    (taumol_lw_fused.py): one launch, rows/weights computed in VMEM.
+    Set ECRAD_FUSED_TAUMOL=0 to force the per-band Section path."""
+    import os
+    from ..rrtmg.taumol_lw_fused import taumol_lw_fused
+    from ...ops.gather_interp import use_pallas_default
+    fused_env = os.environ.get("ECRAD_FUSED_TAUMOL", "1")
+    want_pallas = (use_pallas if use_pallas is not None
+                   else use_pallas_default())
+    if (fused_env != "0" and want_pallas
+            and c2.colh2o.dtype == jnp.float32):
+        return taumol_lw_fused(c2, t, use_pallas=True)
+
     ncol, nlev = c2.tropo.shape
     n = ncol * nlev
     c = _flat(c2)
