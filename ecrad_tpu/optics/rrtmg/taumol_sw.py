@@ -85,7 +85,20 @@ def _sflux_eta(sfluxref, js_lay, fs_lay):
 
 def taumol_sw(c2: Coeffs, t: dict, use_pallas=None):
     """All 14 SW bands. Returns (taug, taur, sfluxzen):
-    taug/taur (ncol, nlev, 112), sfluxzen (ncol, 112)."""
+    taug/taur (ncol, nlev, 112), sfluxzen (ncol, 112).
+
+    On TPU in f32 this dispatches to the fused all-band kernel
+    (taumol_sw_fused.py). ECRAD_FUSED_TAUMOL=0 forces the per-band
+    Section path."""
+    import os
+    from .taumol_sw_fused import taumol_sw_fused
+    from ...ops.gather_interp import use_pallas_default
+    want_pallas = (use_pallas if use_pallas is not None
+                   else use_pallas_default())
+    if (os.environ.get("ECRAD_FUSED_TAUMOL", "1") != "0" and want_pallas
+            and c2.colh2o.dtype == jnp.float32):
+        return taumol_sw_fused(c2, t, use_pallas=True)
+
     dtype = c2.colh2o.dtype
     ncol, nlev = c2.colh2o.shape
     n = ncol * nlev

@@ -69,3 +69,36 @@ def test_lw_fused_pallas_matches_body(coeffs):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(pf1), np.asarray(pf0),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sw_fused_matches_sections(coeffs):
+    from ecrad_tpu.optics.rrtmg.taumol_sw import taumol_sw
+    from ecrad_tpu.optics.rrtmg.taumol_sw_fused import taumol_sw_fused
+
+    c, t = coeffs
+    tg0, tr0, sf0 = jax.jit(
+        lambda c: taumol_sw(c, t, use_pallas=False))(c)
+    tg1, tr1, sf1 = jax.jit(
+        lambda c: taumol_sw_fused(c, t, use_pallas=False))(c)
+    tg0, tg1 = np.asarray(tg0), np.asarray(tg1)
+    mask = np.abs(tg0) > 1e-8
+    rel = (np.abs(tg1 - tg0) / np.maximum(np.abs(tg0), 1e-30))[mask]
+    assert rel.max() < 1e-5
+    np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr0))
+    np.testing.assert_array_equal(np.asarray(sf1), np.asarray(sf0))
+
+
+def test_sw_fused_pallas_matches_body(coeffs):
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU kernel path requires a TPU")
+    from ecrad_tpu.optics.rrtmg.taumol_sw_fused import taumol_sw_fused
+
+    c, t = coeffs
+    tg0, tr0, _ = jax.jit(
+        lambda c: taumol_sw_fused(c, t, use_pallas=False))(c)
+    tg1, tr1, _ = jax.jit(
+        lambda c: taumol_sw_fused(c, t, use_pallas=True))(c)
+    np.testing.assert_allclose(np.asarray(tg1), np.asarray(tg0),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0),
+                               rtol=1e-5, atol=1e-12)
