@@ -2,11 +2,17 @@
 """Benchmark harness: columns/sec on the 137-level LW+SW workload.
 
 Runs on whatever jax.devices() provides (the real TPU chip under axon).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per benched solver; the LAST line is the headline
+(McICA, the IFS operational configuration). `vs_baseline` compares
+against the recorded round-1 numbers in BASELINE.json
+("measured_r1_cols_per_sec_chip"), so a regression shows up as
+vs_baseline < 1 in the driver-captured artifact.
 
-The reference publishes no benchmark numbers (BASELINE.md), so
-vs_baseline is measured against ECRAD_BASELINE_COLS_PER_SEC if set in the
-environment, else 1.0 (self-referential first measurement).
+Environment:
+  ECRAD_BENCH_SOLVER   Cloudless|Homogeneous|McICA|Tripleclouds|
+                       SPARTACUS|all   (default: McICA only)
+  ECRAD_BENCH_TILE     batch = tile * 32 meridian columns
+  ECRAD_BENCH_REPEAT   timing repeats (default 10, min taken)
 """
 import json
 import os
@@ -24,17 +30,14 @@ def tile_columns(pytree, factor):
                    if hasattr(x, "ndim") and x.ndim > 0 else x), pytree)
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from ecrad_tpu.config import RadiationConfig, Solver, Overlap
+SOLVERS = ["Cloudless", "Homogeneous", "Tripleclouds", "SPARTACUS",
+           "McICA"]          # McICA last: headline line
+
+
+def bench_solver(solver, inputs, baselines):
+    from ecrad_tpu.config import Overlap, RadiationConfig, Solver
     from ecrad_tpu.interface import radiation, setup_radiation
-    from ecrad_tpu.io.input_reader import read_input
 
-    input_nc = "/root/reference/test/ifs/ecrad_meridian.nc"
-    sl, thermo, gas, cloud, aer = read_input(input_nc)
-
-    # benchmark config: the most complete solver currently validated
-    solver = os.environ.get("ECRAD_BENCH_SOLVER", "auto")
     kwargs = dict(
         use_aerosols=False,
         do_nearest_spectral_sw_albedo=False,
@@ -44,38 +47,23 @@ def main():
         do_nearest_spectral_lw_emiss=True,
         lw_emiss_wavelength_bound=(8.0e-6, 13.0e-6),
         i_lw_emiss_index=(1, 2, 1),
+        directory_name="/root/reference/data",
     )
-    solver_enum = Solver.CLOUDLESS
-    metric_name = "cloudless_columns_per_sec_chip"
-    if solver == "auto":
-        solver = "McICA"
+    solver_enum = {
+        "Cloudless": Solver.CLOUDLESS, "Homogeneous": Solver.HOMOGENEOUS,
+        "McICA": Solver.MCICA, "Tripleclouds": Solver.TRIPLECLOUDS,
+        "SPARTACUS": Solver.SPARTACUS}[solver]
     if solver == "McICA":
-        solver_enum = Solver.MCICA
-        metric_name = "mcica_columns_per_sec_chip"
         kwargs["i_overlap_scheme"] = Overlap.EXPONENTIAL_EXPONENTIAL
-        kwargs["directory_name"] = "/root/reference/data"
-    elif solver == "Tripleclouds":
-        solver_enum = Solver.TRIPLECLOUDS
-        metric_name = "tripleclouds_columns_per_sec_chip"
-        kwargs["directory_name"] = "/root/reference/data"
-    elif solver == "Homogeneous":
-        solver_enum = Solver.HOMOGENEOUS
-        metric_name = "homogeneous_columns_per_sec_chip"
-        kwargs["directory_name"] = "/root/reference/data"
-    elif solver == "SPARTACUS":
-        solver_enum = Solver.SPARTACUS
-        metric_name = "spartacus_columns_per_sec_chip"
-        kwargs["directory_name"] = "/root/reference/data"
-
-    cfg = RadiationConfig(i_solver_sw=solver_enum, i_solver_lw=solver_enum,
-                          **kwargs)
+    cfg = RadiationConfig(i_solver_sw=solver_enum,
+                          i_solver_lw=solver_enum, **kwargs)
     setup = setup_radiation(cfg)
 
     # 2048 columns by default; SPARTACUS stores per-layer region-coupled
     # matrices ((nlev, 3, 3, ncol, ng) histories) so it benches at 512
     default_tile = "16" if solver == "SPARTACUS" else "64"
     factor = int(os.environ.get("ECRAD_BENCH_TILE", default_tile))
-    batch = tile_columns((sl, thermo, gas, cloud, aer), factor)
+    batch = tile_columns(inputs, factor)
     ncol = batch[0].cos_sza.shape[0]
 
     fn = jax.jit(lambda s, t, g, c, a: radiation(setup, s, t, g, c, a))
@@ -94,14 +82,40 @@ def main():
     elapsed = min(times)
 
     cols_per_sec = ncol / elapsed
-    baseline = float(os.environ.get("ECRAD_BASELINE_COLS_PER_SEC", "0"))
-    vs_baseline = cols_per_sec / baseline if baseline > 0 else 1.0
-    print(json.dumps({
-        "metric": metric_name,
+    base = baselines.get(solver.lower(), 0.0)
+    env_base = float(os.environ.get("ECRAD_BASELINE_COLS_PER_SEC", "0"))
+    if env_base > 0:
+        base = env_base
+    vs_baseline = cols_per_sec / base if base else 1.0
+    return {
+        "metric": f"{solver.lower()}_columns_per_sec_chip",
         "value": round(cols_per_sec, 1),
         "unit": "columns/s",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ecrad_tpu.io.input_reader import read_input
+
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BASELINE.json")) as f:
+            baselines = json.load(f).get(
+                "measured_r1_cols_per_sec_chip", {})
+        baselines = {k: float(v) for k, v in baselines.items()
+                     if isinstance(v, (int, float))}
+    except Exception:
+        baselines = {}
+
+    inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
+
+    which = os.environ.get("ECRAD_BENCH_SOLVER", "McICA")
+    solvers = SOLVERS if which == "all" else [which]
+    for solver in solvers:
+        print(json.dumps(bench_solver(solver, inputs, baselines)),
+              flush=True)
 
 
 if __name__ == "__main__":
