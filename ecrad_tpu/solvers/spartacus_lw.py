@@ -146,7 +146,10 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
 
     n2 = 2 * nreg
 
-    def reftrans_body(_, xs):
+    def reftrans_level(xs):
+        """One level's reflectance/transmittance/source terms; called
+        inside the upward scan so no multi-history stack (plus its flip
+        copy) is ever materialized — see spartacus_sw.py up_body."""
         (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
          clear_l) = xs
         od_capped = jnp.concatenate(
@@ -270,12 +273,7 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         trans = _zero_offdiag_clear(trans, is_clear)
         sup = _zero_cloudy_vec(sup, is_clear)
         sdn = _zero_cloudy_vec(sdn, is_clear)
-        return None, (ref, trans, sup, sdn)
-
-    _, (ref, trans, sup, sdn) = jax.lax.scan(
-        reftrans_body, None,
-        (od_r, ssa_r, g_r, tr_g, se_g, planck_top_g, planck_bot_g,
-         frac_g, use3d_g, clear_g))
+        return ref, trans, sup, sdn
 
     # clear-sky per-layer properties
     g1c, g2c = ts.lw_gammas(ssa, g)
@@ -298,15 +296,17 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     src0 = jnp.moveaxis(
         emission[:, :, None] * reg_fracs[:, -1, None, :], -1, 0)
 
-    def rev(x):
-        return jnp.flip(x, axis=0)
-
-    fields_up = (rev(ref), rev(trans), rev(sup), rev(sdn), rev(clear_g),
-                 rev(clear_prev_g), rev(um_g[:nlev]), rev(vm_g[:nlev]))
+    fields_up = (od_r, ssa_r, g_r, tr_g, se_g, planck_top_g,
+                 planck_bot_g, frac_g, use3d_g, clear_g,
+                 clear_prev_g, um_g[:nlev], vm_g[:nlev])
 
     def up_body(carry, xs):
         alb, src = carry
-        R, T, SU, SD, cl_l, cl_prev, um, vm = xs
+        (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
+         cl_l, cl_prev, um, vm) = xs
+        R, T, SU, SD = reftrans_level(
+            (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
+             cl_l))
         if use_matrix:
             denom = -mm_g(alb, R)
             for i in range(nreg):
@@ -335,12 +335,14 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
             alb_mixed = _diag_g(diag_vals, nreg)
         alb_new = jnp.where(both_clear, alb_below, alb_mixed)
         src_new = jnp.where(both_clear, src_below, src_mixed)
-        return (alb_new, src_new), (alb, src)
+        return (alb_new, src_new), (R, T, SD, alb, src)
 
-    (alb_top, src_top), (alb_hist, src_hist) = jax.lax.scan(
-        up_body, (alb0, src0), fields_up)
-    alb_below_layer = jnp.flip(alb_hist, 0)
-    src_below_layer = jnp.flip(src_hist, 0)
+    # reverse=True sweeps surface->TOA with ys[i] landing at layer i:
+    # alb_hist[i] is the albedo below layer i, already in the order the
+    # downward pass consumes (no flip copies)
+    (alb_top, src_top), (ref, trans, sdn, alb_below_layer,
+                         src_below_layer) = jax.lax.scan(
+        up_body, (alb0, src0), fields_up, reverse=True)
 
     # ---------------- downward pass ---------------------------------------
     fdn0 = jnp.zeros((nreg, ncol, ng), dtype)

@@ -308,42 +308,11 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     mu0_b = mu0[:, None]                           # (ncol, 1)
 
-    # --- per-level reflectance/transmittance matrices (blocked scan) ------
-    # The computation is independent per level; the scan exists only to
-    # bound memory. Vectorizing BLK levels per step amortizes the
-    # per-iteration op overhead of the matrix assembly ~BLK-fold.
-    def reftrans_body(_, xs):
-        od_l, ssa_l, g_l, trd_l, trf_l, use3d_l, clear_l = xs
-        od_capped = jnp.concatenate(
-            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
-        ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans_level(
-            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l,
-            use3d=use3d_l)
-        # Meador-Weaver fallback (diagonal matrices)
-        g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
-        rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
-            mu0_b, od_l, ssa_l, g1, g2, g3)
-        sel = use3d_l                              # (..., ncol, ng)
-        ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
-        trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
-        ref_dir = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
-        tdiff = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
-        tdd = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
-        is_clear = clear_l[..., None]              # (..., ncol, 1)
-        ref = _zero_offdiag_clear(ref, is_clear)
-        trans = _zero_offdiag_clear(trans, is_clear)
-        ref_dir = _zero_offdiag_clear(ref_dir, is_clear)
-        tdiff = _zero_offdiag_clear(tdiff, is_clear)
-        tdd = _zero_offdiag_clear(tdd, is_clear)
-        return None, (ref, trans, ref_dir, tdiff, tdd,
-                      rmw[0], tmw[0], rdmw[0], tdmw[0], tddmw[0])
-
-    _, scanned = jax.lax.scan(
-        reftrans_body, None,
-        (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g, clear_g))
-    ref, trans, ref_dir, tdiff, tdd = scanned[:5]   # (nlev,3,3,ncol,ng)
-    rc, tc, rdc, tdc, tddc = [jnp.moveaxis(x, 0, 1)
-                              for x in scanned[5:]]  # (ncol, nlev, ng)
+    # clear-sky Meador-Weaver reftrans, vectorized over all levels
+    # (elementwise; no scan needed): (ncol, nlev, ng)
+    g1c, g2c, g3c = ts.sw_gammas(mu0[:, None, None], ssa, g)
+    rc, tc, rdc, tdc, tddc = ts.sw_reftrans(
+        mu0[:, None, None], od, ssa, g1c, g2c, g3c)
 
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
@@ -367,40 +336,72 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     x_layer_diffuse = dz * TAN_DIFFUSE_ANGLE_3D / np.sqrt(2.0)
     x_layer_direct = dz * jnp.sqrt(tan_sza[:, None] ** 2
                                    + TAN_DIFFUSE_ANGLE_3D ** 2) * 0.5
-    # per-level scan inputs ordered surface->TOA
-    def rev(x):
-        return jnp.flip(x, axis=0)
 
     edge_prev = jnp.concatenate([edge_len[:, :1], edge_len[:, :-1]],
                                 axis=1)
     not_top = jnp.arange(nlev) > 0
-    fields_up = (rev(ref), rev(trans), rev(ref_dir), rev(tdiff), rev(tdd),
-                 rev(clear_g), rev(clear_prev_g),
-                 rev(um_g[:nlev]), rev(vm_g[:nlev]),
-                 rev(jnp.moveaxis(cloud.fraction, 1, 0)),
-                 rev(jnp.moveaxis(dz, 1, 0)),
-                 rev(jnp.moveaxis(x_layer_diffuse, 1, 0)),
-                 rev(jnp.moveaxis(x_layer_direct, 1, 0)),
-                 rev(jnp.moveaxis(edge_prev, 1, 0)),
-                 rev(jnp.moveaxis(inv_eff_prev, 1, 0)),
-                 rev(jnp.moveaxis(overlap_prev, 1, 0)),
-                 rev(jnp.moveaxis(reg_fracs, 1, 0)),
-                 rev(jnp.moveaxis(
+    # Per-level inputs in natural TOA->surface order; the upward scan
+    # runs with reverse=True (surface first), so no flip copies are ever
+    # materialized, and its per-level outputs land at the right index
+    # for the downward pass directly. The per-level reflectance/
+    # transmittance matrices are computed INSIDE this scan (rather than
+    # a prior scan that stacks five (nlev, nreg, nreg, ncol, ng)
+    # histories plus their flips): only the six arrays the downward pass
+    # consumes are ever stored, which is what lets 2048-column batches
+    # fit in HBM.
+    fields_up = (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g,
+                 clear_g, clear_prev_g,
+                 um_g[:nlev], vm_g[:nlev],
+                 jnp.moveaxis(cloud.fraction, 1, 0),
+                 jnp.moveaxis(dz, 1, 0),
+                 jnp.moveaxis(x_layer_diffuse, 1, 0),
+                 jnp.moveaxis(x_layer_direct, 1, 0),
+                 jnp.moveaxis(edge_prev, 1, 0),
+                 jnp.moveaxis(inv_eff_prev, 1, 0),
+                 jnp.moveaxis(overlap_prev, 1, 0),
+                 jnp.moveaxis(reg_fracs, 1, 0),
+                 jnp.moveaxis(
                      jnp.concatenate([reg_fracs[:, :1], reg_fracs[:, :-1]],
-                                     axis=1), 1, 0)),
-                 rev(not_top))
+                                     axis=1), 1, 0),
+                 not_top)
 
     def up_body(carry, xs):
         alb, albdir, x_diff, x_dir = carry
-        (R, T, RD, TD, TDD, cl_l, cl_prev, um, vm, cf_l, dz_l, xld, xldir,
+        (od_l, ssa_l, g_l, trd_l, trf_l, use3d_l, cl_l, cl_prev, um, vm,
+         cf_l, dz_l, xld, xldir,
          el_prev_lev, inv_eff_l, ovp_l, rf_l, rf_prev, not_top_l) = xs
+        # --- this level's reflectance/transmittance matrices ----------
+        od_capped = jnp.concatenate(
+            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
+        ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans_level(
+            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l,
+            use3d=use3d_l)
+        # Meador-Weaver fallback (diagonal matrices)
+        g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
+        rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
+            mu0_b, od_l, ssa_l, g1, g2, g3)
+        sel = use3d_l                              # (..., ncol, ng)
+        R = jnp.where(sel, ref3, _diag_g(rmw, nreg))
+        T = jnp.where(sel, trans3, _diag_g(tmw, nreg))
+        RD = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
+        TD = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
+        TDD = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
+        is_clear = cl_l[:, None]
+        R = _zero_offdiag_clear(R, is_clear)
+        T = _zero_offdiag_clear(T, is_clear)
+        RD = _zero_offdiag_clear(RD, is_clear)
+        TD = _zero_offdiag_clear(TD, is_clear)
+        TDD = _zero_offdiag_clear(TDD, is_clear)
+        # --- accumulate the below-interface albedos -------------------
         denom = -mm_g(alb, R)
         for i in range(nreg):
             denom = denom.at[i, i].add(1.0)
-        alb_below = R + mm_g(T, solve_g(denom, mm_g(alb, T)))
-        albdir_below = RD + mm_g(T, solve_g(
-            denom, mm_g(albdir, TDD) + mm_g(alb, TD)))
-        is_clear = cl_l[:, None]
+        # one LU for both diffuse and direct right-hand sides
+        rhs = jnp.concatenate(
+            [mm_g(alb, T), mm_g(albdir, TDD) + mm_g(alb, TD)], axis=1)
+        X = mm_g(T, solve_g(denom, rhs))
+        alb_below = R + X[:, :nreg]
+        albdir_below = RD + X[:, nreg:]
         alb_below = _zero_offdiag_clear(alb_below, is_clear)
         albdir_below = _zero_offdiag_clear(albdir_below, is_clear)
 
@@ -452,12 +453,14 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
             x_diff = jnp.where(both_clear, x_diff, x_diff_m)
             x_dir = jnp.where(both_clear, x_dir, x_dir_m)
 
-        return (alb_keep, albdir_keep, x_diff, x_dir), (alb, albdir)
+        return ((alb_keep, albdir_keep, x_diff, x_dir),
+                (R, T, TD, TDD, alb, albdir))
 
-    (alb_top, albdir_top, _, _), (alb_hist, albdir_hist) = jax.lax.scan(
-        up_body, (alb0, albdir0, x0, x0), fields_up)
-    alb_below_layer = jnp.flip(alb_hist, 0)        # (nlev, 3, 3, ncol, ng)
-    albdir_below_layer = jnp.flip(albdir_hist, 0)
+    # reverse=True: sweeps surface->TOA; ys[i] still lands at layer i,
+    # so alb_hist[i] IS the albedo below layer i — no flips needed
+    (alb_top, albdir_top, _, _), ys_up = jax.lax.scan(
+        up_body, (alb0, albdir0, x0, x0), fields_up, reverse=True)
+    (ref, trans, tdiff, tdd, alb_below_layer, albdir_below_layer) = ys_up
 
     # ---------------- downward pass ---------------------------------------
     # direct0: (nreg, ncol, ng)
@@ -467,13 +470,13 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     clear_next = jnp.concatenate(
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
-    fields_dn = (ref, trans, ref_dir, tdiff, tdd,
+    fields_dn = (ref, trans, tdiff, tdd,
                  alb_below_layer, albdir_below_layer,
                  clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
 
     def dn_body(carry, xs):
         flux_dn, direct_dn = carry     # (nreg, ncol, ng)
-        (R, T, RD, TD, TDD, alb_b, albdir_b, cl_l, cl_next, vm) = xs
+        (R, T, TD, TDD, alb_b, albdir_b, cl_l, cl_next, vm) = xs
         source_dn = mv_g(TD, direct_dn)
         direct_above = mv_g(TDD, direct_dn)
         denom = -mm_g(R, alb_b)
