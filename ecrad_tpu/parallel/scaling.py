@@ -71,6 +71,7 @@ def read_input_sharded(path: str, driver_config=None):
             lambda x: (x[sl] if hasattr(x, "ndim") and x.ndim > 0
                        and x.shape[0] == ncol else x), p)
             for p in parts)
+        return shard_columns(parts, local_columns=sl.stop - sl.start)
     return shard_columns(parts)
 
 

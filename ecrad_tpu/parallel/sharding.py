@@ -20,11 +20,34 @@ def column_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("columns",))
 
 
-def shard_columns(pytrees, mesh: Optional[Mesh] = None):
+def shard_columns(pytrees, mesh: Optional[Mesh] = None,
+                  local_columns: Optional[int] = None):
     """Place every array in the pytree with its leading (column) axis
-    sharded over the mesh. Scalars/0-d leaves are replicated."""
+    sharded over the mesh. Scalars/0-d leaves are replicated.
+
+    When the mesh spans multiple processes (multi-host analogue of the
+    reference's MPI ranks, ifs/easy_netcdf_read_mpi.F90), each process
+    holds only its own column slice of the input; leaves whose leading
+    dim equals `local_columns` are assembled into global arrays from the
+    per-process shards, everything else is treated as replicated."""
     mesh = mesh or column_mesh()
     ndev = mesh.devices.size
+    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
+
+    if multiproc:
+        col_sharding = NamedSharding(mesh, P("columns"))
+        rep_sharding = NamedSharding(mesh, P())
+
+        def place_mp(x):
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return x
+            x = np.asarray(x)
+            if local_columns is not None and x.shape[0] == local_columns:
+                return jax.make_array_from_process_local_data(
+                    col_sharding, x)
+            return jax.make_array_from_process_local_data(rep_sharding, x)
+
+        return jax.tree.map(place_mp, pytrees)
 
     def place(x):
         if not hasattr(x, "ndim") or x.ndim == 0:
