@@ -103,6 +103,46 @@ def profile_report() -> str:
     return "\n".join(lines)
 
 
+def profile_rows():
+    """Profile data as rows of (name, calls, self_seconds)."""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+        cap = 512
+        names = ctypes.create_string_buffer(cap * 64)
+        calls = (ctypes.c_long * cap)()
+        tw = (ctypes.c_double * cap)()
+        sw = (ctypes.c_double * cap)()
+        tc = (ctypes.c_double * cap)()
+        rss = (ctypes.c_long * cap)()
+        n = lib.ecr_hook_report(names, calls, tw, sw, tc, rss, cap)
+        return [(names.raw[i * 64:(i + 1) * 64].split(b"\0")[0].decode(),
+                 int(calls[i]), float(sw[i])) for i in range(n)]
+    return [(name, _counts[name], t) for name, t in _accum.items()]
+
+
+def dump_profile(path: str | None = None) -> str:
+    """Write this process's profile to `ecrhook.prof.<process_index>`
+    (the per-rank `drhook.prof.N` files of DR_HOOK_OPT=prof); merge
+    across processes with tools/merge_hook_profiles.py — the
+    bin/drhook_merge_walltime.pl analogue. Returns the path written."""
+    if path is None:
+        try:
+            pid = jax.process_index()
+        except Exception:
+            pid = 0
+        path = f"ecrhook.prof.{pid}"
+    rows = profile_rows()
+    total = sum(r[2] for r in rows)
+    with open(path, "w") as f:
+        f.write(f"# ecrhook profile process={path.rsplit('.', 1)[-1]} "
+                f"walltime={total:.6f}\n")
+        f.write("# name calls self_seconds\n")
+        for name, calls, self_s in rows:
+            f.write(f"{name} {calls} {self_s:.6f}\n")
+    return path
+
+
 def reset_profile() -> None:
     lib = _native()
     if lib is not None:

@@ -97,3 +97,39 @@ def test_hooks_python_api():
         pass
     # report callable regardless of backend
     assert isinstance(hooks.profile_report(), str)
+
+
+def test_profile_dump_and_merge(tmp_path, monkeypatch):
+    """dump_profile writes per-process files; merge_hook_profiles
+    aggregates them like bin/drhook_merge_walltime.pl (avg/min/max,
+    imbalance, call counts across ranks)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import merge_hook_profiles as mhp
+
+    from ecrad_tpu.utils import hooks
+    monkeypatch.setattr(hooks, "LHOOK", True)
+    hooks.reset_profile()
+    with hooks.hook("radiation"):
+        with hooks.hook("gas_optics"):
+            pass
+    p0 = hooks.dump_profile(str(tmp_path / "ecrhook.prof.0"))
+    # synthesize a second, slower rank
+    wall1, rows1 = mhp.parse_profile(p0)
+    p1 = tmp_path / "ecrhook.prof.1"
+    with open(p1, "w") as f:
+        f.write(f"# ecrhook profile process=1 walltime={wall1 * 3}\n")
+        for name, calls, self_s in rows1:
+            f.write(f"{name} {calls * 2} {self_s * 3 + 1.0}\n")
+    acc, wall = mhp.merge([mhp.parse_profile(p0),
+                           mhp.parse_profile(str(p1))])
+    assert wall["nproc"] == 2
+    assert set(acc) >= {"radiation", "gas_optics"}
+    st = acc["radiation"]
+    assert st["tasks"] == 2
+    assert st["calls"] == 3  # 1 + 2
+    assert st["max"] > st["min"]
+    report = mhp.format_report(acc, wall, threshold_percent=0.0)
+    assert "radiation" in report and "gas_optics" in report
+    assert "2 processes" in report
