@@ -37,6 +37,97 @@ def test_get_sw_weights_outside_range():
         get_sw_weights(100e-6, 200e-6)
 
 
+def test_liquid_effective_radius_pinned():
+    """Numerically pin the Martin et al. (1994) droplet radius against
+    an independent f64 transcription of ifs/liquid_effective_radius.F90
+    case 2 (:127-198)."""
+    from ecrad_tpu.coupling import liquid_effective_radius
+    # 4 columns x 1 level (land fraction is per column)
+    p = np.array([[85000.0], [70000.0], [85000.0], [85000.0]])
+    t = np.array([[280.0], [265.0], [280.0], [280.0]])
+    cf = np.array([[0.8], [0.5], [0.8], [0.0005]])  # last: inactive
+    ql = np.array([[2e-4], [5e-5], [2e-4], [2e-4]])
+    qr = np.array([[0.0], [0.0], [5e-5], [0.0]])
+    land = np.array([0.0, 1.0, 0.0, 0.0])           # sea, land, sea, sea
+
+    got = np.asarray(liquid_effective_radius(
+        p, t, cf, ql, qr, land[:, None]))
+
+    def expect(p, t, cf, ql, qr, is_land):
+        ccn = 900.0 if is_land else 50.0
+        disp = 0.69 if is_land else 0.77
+        ntot = (-2.10e-4 * ccn * ccn + 0.568 * ccn - 27.9 if is_land
+                else -1.15e-3 * ccn * ccn + 0.963 * ccn + 5.30)
+        ratio = (0.222 / disp) ** 0.333
+        rho = 1000.0 * p / (287.058 * t)
+        lwc = rho * ql / cf
+        rwc = rho * qr / cf
+        wood = 1.0
+        if rwc > 0 and lwc > 1e-12:
+            rr = rwc / lwc
+            wood = (1.0 + rr) ** 0.666 / (1.0 + 0.2 * ratio * rr)
+        re3 = 3.0 * (lwc + rwc) / (4.0 * np.pi * ntot * disp)
+        re = wood * 100.0 * np.exp(0.333 * np.log(re3))
+        return np.clip(re, 4.0, 30.0) * 1e-6
+
+    assert got[0, 0] == pytest.approx(
+        expect(85000.0, 280.0, 0.8, 2e-4, 0.0, False), rel=1e-5)
+    assert got[1, 0] == pytest.approx(
+        expect(70000.0, 265.0, 0.5, 5e-5, 0.0, True), rel=1e-5)
+    assert got[2, 0] == pytest.approx(
+        expect(85000.0, 280.0, 0.8, 2e-4, 5e-5, False), rel=1e-5)
+    # cloud_frac below the 0.001 activity threshold -> minimum radius
+    assert got[3, 0] == pytest.approx(4.0e-6, rel=1e-6)
+    # rain engages the Wood (2000) factor: result differs from no-rain
+    assert got[2, 0] != got[0, 0]
+
+
+def test_ice_effective_radius_pinned():
+    """Pin the Sun & Rikus (1999, rev. Sun 2001) ice radius against an
+    independent f64 transcription of ifs/ice_effective_radius.F90
+    case 1 (:100-157)."""
+    from ecrad_tpu.coupling import ice_effective_radius
+    p = np.array([[40000.0, 25000.0, 40000.0]])
+    t = np.array([[230.0, 210.0, 230.0]])
+    cf = np.array([[0.6, 0.3, 0.0]])               # last: inactive
+    qi = np.array([[1e-5, 2e-6, 1e-5]])
+    qs = np.array([[0.0, 1e-6, 0.0]])
+
+    got = np.asarray(ice_effective_radius(p, t, cf, qi, qs))
+
+    def expect(p, t, cf, qi, qs):
+        rho = 1000.0 * p / (287.058 * t)
+        iwc = rho * (qi + qs) / cf
+        aiwc = 45.8966 * iwc ** 0.2214
+        biwc = 0.7957 * iwc ** 0.2535
+        diam = (1.2351 + 0.0105 * (t - 273.16)) * (
+            aiwc + biwc * (t - 83.15))
+        return np.clip(diam, 20.0, 155.0) * 0.64952 * 1e-6
+
+    assert got[0, 0] == pytest.approx(
+        expect(40000.0, 230.0, 0.6, 1e-5, 0.0), rel=1e-5)
+    assert got[0, 1] == pytest.approx(
+        expect(25000.0, 210.0, 0.3, 2e-6, 1e-6), rel=1e-5)
+    # inactive -> default 80 um diameter times RRE2DE
+    assert got[0, 2] == pytest.approx(80.0 * 0.64952e-6, rel=1e-6)
+
+
+def test_cloud_overlap_decorr_len_pinned():
+    """Pin both latitude schemes of ifs/cloud_overlap_decorr_len.F90
+    (:96-107): Shonk et al. (2010) Eq. 13 and the equator-smoothed
+    variant."""
+    from ecrad_tpu.coupling import cloud_overlap_decorr_len
+    lat_deg = np.array([0.0, 30.0, 60.0, -45.0])
+    sinlat = np.sin(np.deg2rad(lat_deg))
+    got1 = np.asarray(cloud_overlap_decorr_len(sinlat, scheme=1))
+    np.testing.assert_allclose(got1, 2.899 - 0.02759 * np.abs(lat_deg),
+                               rtol=1e-5)
+    got2 = np.asarray(cloud_overlap_decorr_len(sinlat, scheme=2))
+    coslat = np.cos(np.deg2rad(lat_deg))
+    np.testing.assert_allclose(got2, 0.75 + 2.149 * coslat * coslat,
+                               rtol=1e-5)
+
+
 @needs_ref
 def test_radiation_scheme_and_uv_par():
     from ecrad_tpu.config import RadiationConfig, Solver
