@@ -36,6 +36,44 @@ except Exception:
     pass
 
 
+def make_ifs_variant_goldens(outdir):
+    """Full-meridian-width goldens for the reference's 7-variant
+    test/ifs namelist matrix (test/ifs/Makefile:12-63), via the driver
+    CLI path — pins lwscat / Exp-Ran / entrapment variants, not just
+    the default config per solver."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    from ifs_variants import (GOLDEN_VARS, IFS_DIR, VARIANTS,
+                              write_variant_namelist)
+
+    from ecrad_tpu.driver import main as driver_main
+    from ecrad_tpu.io.netcdf import NetcdfFile
+
+    os.makedirs(outdir, exist_ok=True)
+    for name, subs in VARIANTS:
+        with tempfile.TemporaryDirectory() as tmp:
+            nam = write_variant_namelist(tmp, name, subs,
+                                         {"iverbose": "1"})
+            out_nc = os.path.join(tmp, f"{name}_out.nc")
+            rc = driver_main([nam, os.path.join(IFS_DIR,
+                                                "ecrad_meridian.nc"),
+                              out_nc])
+            assert rc == 0, f"driver failed for {name}"
+            out = {}
+            with NetcdfFile(out_nc) as f:
+                for var in GOLDEN_VARS:
+                    try:
+                        out[var] = np.asarray(f.read(var))
+                    except Exception:
+                        pass
+        path = os.path.join(outdir, f"ifs_{name}.npz")
+        np.savez_compressed(path, **out)
+        print(f"wrote {path}: flux_up_lw TOA mean "
+              f"{out['flux_up_lw'][:, 0].mean():.3f}")
+
+
 def main():
     from ecrad_tpu.config import Solver, load_config_from_namelist
     from ecrad_tpu.interface import radiation, setup_radiation
@@ -70,4 +108,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    args = sys.argv[1:]
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "tests", "goldens")
+    if "--ifs" in args or not args:
+        make_ifs_variant_goldens(outdir)
+    if "--solvers" in args or not args:
+        main()
