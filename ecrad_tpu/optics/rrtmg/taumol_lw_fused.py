@@ -375,6 +375,20 @@ def _chi_adjust(col, coldry, ref, thresh, base, expo):
     return jnp.where(rat > thresh, adjcol, col)
 
 
+def _pad_g_rows(block, g0, tile, total=140):
+    """Place an (ng, tile) block at g-row offset g0 within (total, tile),
+    zero elsewhere. Skips zero-size segments: Mosaic rejects 0-sized
+    vector operands in concatenate (band 1 has g0 == 0)."""
+    ng = block.shape[0]
+    parts = []
+    if g0 > 0:
+        parts.append(jnp.zeros((g0, tile), jnp.float32))
+    parts.append(block)
+    if total - g0 - ng > 0:
+        parts.append(jnp.zeros((total - g0 - ng, tile), jnp.float32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _onehot_rows(nrows, idx_terms, tile):
     """sum_k onehot(idx_k) * w_k as an (nrows, tile) matrix.
 
@@ -579,9 +593,7 @@ def lw_fused_body(fc, ic, tabs, meta):
     for (b, off, ng), scale in zip(meta["minor_off"], minor_scale_list):
         g0 = G_OFF[b - 1]
         block = scale * M_minor[off:off + ng]
-        minor_add = minor_add + jnp.concatenate([
-            jnp.zeros((g0, tile), jnp.float32), block,
-            jnp.zeros((140 - g0 - ng, tile), jnp.float32)], axis=0)
+        minor_add = minor_add + _pad_g_rows(block, g0, tile)
     tau = tau + minor_add
 
     # minor gases with eta: contract the r1 (eta) axis per instance
@@ -610,9 +622,7 @@ def lw_fused_body(fc, ic, tabs, meta):
             block = block + (M_meta[off + j * ng:off + (j + 1) * ng]
                              * Bw[j:j + 1, :])
         g0 = G_OFF[b - 1]
-        meta_add = meta_add + jnp.concatenate([
-            jnp.zeros((g0, tile), jnp.float32), block,
-            jnp.zeros((140 - g0 - ng, tile), jnp.float32)], axis=0)
+        meta_add = meta_add + _pad_g_rows(block, g0, tile)
     tau = tau + meta_add
 
     # constant cross-sections: ccl4, cfc11, cfc12, cfc22 ((140, 4) cols)

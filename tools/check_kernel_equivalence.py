@@ -57,7 +57,52 @@ def main():
         status = "OK" if err < 5e-6 else "FAIL"
         print(f"{name}: rel err {err:.2e}  {status}")
         assert err < 5e-6, name
+
+    check_fused_taumol()
     print("kernel equivalence OK")
+
+
+def check_fused_taumol():
+    """Fused all-band taumol kernels: Pallas path vs the identical jnp
+    body, on real meridian setcoef inputs (the fallback path is itself
+    pinned against the per-band Sections in tests/test_taumol_fused.py)."""
+    from ecrad_tpu.io.input_reader import read_input
+    from ecrad_tpu.optics.rrtmg.gas_optics import GAS_INDEX, load_tables
+    from ecrad_tpu.optics.rrtmg.setcoef import prepare_gases, setcoef
+    from ecrad_tpu.optics.rrtmg.taumol_lw_fused import taumol_lw_fused
+    from ecrad_tpu.optics.rrtmg.taumol_sw_fused import taumol_sw_fused
+
+    _, thermo, gas, _, _ = read_input(
+        "/root/reference/test/ifs/ecrad_meridian.nc")
+    t = load_tables()
+    p_hl, t_hl, gmr = (thermo.pressure_hl, thermo.temperature_hl,
+                       gas.mixing_ratio)
+    p_fl = 0.5 * (p_hl[:, :-1] + p_hl[:, 1:])
+    t_fl = 0.5 * (t_hl[:, :-1] + t_hl[:, 1:])
+
+    def g(nm):
+        return gmr[:, :, GAS_INDEX[nm]]
+
+    gc = prepare_gases(p_hl, p_fl, t_fl, g("h2o"), g("co2"), g("ch4"),
+                       g("n2o"), g("cfc11"), g("cfc12"), g("hcfc22"),
+                       g("ccl4"), g("o3"))
+    c = setcoef(gc, t["preflog"], t["tref"], t["chi_mls"])
+
+    for name, fn in (("taumol_lw_fused", taumol_lw_fused),
+                     ("taumol_sw_fused", taumol_sw_fused)):
+        run = jax.jit(lambda co, up: fn(co, t, use_pallas=up),
+                      static_argnums=1)
+        got, ref = run(c, True), run(c, False)
+        for i, (x, y) in enumerate(zip(jax.tree.leaves(got),
+                                       jax.tree.leaves(ref))):
+            x, y = np.asarray(x), np.asarray(y)
+            mask = np.abs(y) > 1e-8
+            rel = (np.abs(x - y)[mask] / np.abs(y)[mask]).max() \
+                if mask.any() else 0.0
+            ok = np.abs(x - y).max() < 1e-6 or rel < 2e-5
+            print(f"{name}[{i}]: maxabs {np.abs(x - y).max():.2e} "
+                  f"rel {rel:.2e}  {'OK' if ok else 'FAIL'}")
+            assert ok, name
 
 
 if __name__ == "__main__":
