@@ -123,11 +123,27 @@ def adding_lw(reflectance, transmittance, source_up, source_dn,
     return flux_up, flux_dn
 
 
+def _to_gfirst(v):
+    """(..., nlev, ng) -> (nlev, ng, ...): scan xs/carries keep g in the
+    SUBLANE dim and the big batch dim in lanes. Measured on TPU v5e: the
+    per-step (ncol, ng) slices pad ng=140 lanes to 256 (1.8x HBM read
+    amplification) and run the adding scans at ~280 GB/s; (ng, ncol)
+    slices pad 140 sublanes to 144 and reach ~610 GB/s (2.2x faster)."""
+    return jnp.moveaxis(v, (-2, -1), (0, 1))
+
+
+def _from_gfirst(y):
+    """(nlev, ng, ...) -> (..., nlev, ng)."""
+    return jnp.moveaxis(y, (0, 1), (-2, -1))
+
+
+def _gvec(x):
+    """(..., ng) -> (ng, ...) for scan carries/inits."""
+    return jnp.moveaxis(x, -1, 0)
+
+
 def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
                           albedo_surf):
-    axis = -2
-    nlev = ref.shape[axis]
-
     def up_body(carry, x):
         albedo_below, source_below = carry
         r, t, su, sd = x
@@ -136,52 +152,47 @@ def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
         source = su + t * (source_below + albedo_below * sd) * inv_denom
         return (albedo, source), (albedo, source, inv_denom)
 
-    xs = tuple(jnp.flip(jnp.moveaxis(v, axis, 0), 0)
-               for v in (ref, trans, src_up, src_dn))
-    (_, _), (alb_rev, src_rev, invd_rev) = jax.lax.scan(
-        up_body, (albedo_surf, emission_surf), xs)
-    albedo = jnp.concatenate(
-        [jnp.flip(jnp.moveaxis(alb_rev, 0, axis), axis),
-         jnp.expand_dims(albedo_surf, axis)], axis)
-    source = jnp.concatenate(
-        [jnp.flip(jnp.moveaxis(src_rev, 0, axis), axis),
-         jnp.expand_dims(emission_surf, axis)], axis)
-    inv_denom = jnp.flip(jnp.moveaxis(invd_rev, 0, axis), axis)
+    xs = tuple(_to_gfirst(v) for v in (ref, trans, src_up, src_dn))
+    alb_surf_g = _gvec(albedo_surf)
+    emis_g = _gvec(emission_surf)
+    # reverse=True sweeps surface->TOA over TOA-first xs; ys[i] is the
+    # albedo/source below half-level i directly — no flip copies
+    (_, _), (alb_t, src_t, inv_denom) = jax.lax.scan(
+        up_body, (alb_surf_g, emis_g), xs, reverse=True)
+    albedo = jnp.concatenate([alb_t, alb_surf_g[None]], axis=0)
+    source = jnp.concatenate([src_t, emis_g[None]], axis=0)
 
     def dn_body(fd, x):
         t, r, sd, s_below, invd = x
         fd_next = (t * fd + r * s_below + sd) * invd
         return fd_next, fd_next
 
-    xs2 = tuple(jnp.moveaxis(v, axis, 0) for v in (
-        trans, ref, src_dn, source[..., 1:, :], inv_denom))
-    zero = jnp.zeros_like(emission_surf)
+    xs2 = (xs[1], xs[0], xs[3], source[1:], inv_denom)
+    zero = jnp.zeros_like(emis_g)
     _, fd_rest = jax.lax.scan(dn_body, zero, xs2)
-    flux_dn = jnp.concatenate(
-        [jnp.expand_dims(zero, axis), jnp.moveaxis(fd_rest, 0, axis)], axis)
+    flux_dn = jnp.concatenate([zero[None], fd_rest], axis=0)
     flux_up = albedo * flux_dn + source
-    return flux_up, flux_dn
+    return _from_gfirst(flux_up), _from_gfirst(flux_dn)
 
 
 def _affine_seq(a, b, x0, reverse=False):
     """Sequential counterpart of _affine_scan (lax.scan over levels)."""
-    axis = -2
-    a_s = jnp.moveaxis(a, axis, 0)
-    b_s = jnp.moveaxis(b, axis, 0)
-    if reverse:
-        a_s = jnp.flip(a_s, 0)
-        b_s = jnp.flip(b_s, 0)
+    a_s = _to_gfirst(a)
+    b_s = _to_gfirst(b)
+    x0_g = _gvec(x0)
 
     def body(x, ab):
         ak, bk = ab
         x_next = ak * x + bk
         return x_next, x_next
 
-    _, xs = jax.lax.scan(body, x0, (a_s, b_s))
-    x = jnp.concatenate([x0[None], xs], axis=0)
+    _, xs = jax.lax.scan(body, x0_g, (a_s, b_s), reverse=reverse)
     if reverse:
-        x = jnp.flip(x, 0)
-    return jnp.moveaxis(x, 0, axis)
+        # x_k = a_k x_{k+1} + b_k; ys land TOA-first, x0 at the bottom
+        x = jnp.concatenate([xs, x0_g[None]], axis=0)
+    else:
+        x = jnp.concatenate([x0_g[None], xs], axis=0)
+    return _from_gfirst(x)
 
 
 def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
@@ -257,21 +268,25 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
                           trans_dir_dir, incoming_toa, albedo_diffuse,
                           albedo_direct, cs):
     """Three lax.scan sweeps, the reference's own loop structure
-    (radiation_adding_ica_sw.F90:85-143)."""
-    axis = -2
-    mv = lambda x: jnp.moveaxis(x, axis, 0)     # (nlev, ..., ng)
+    (radiation_adding_ica_sw.F90:85-143). Internal layout is g-first
+    (nlev, ng, ...) — see _to_gfirst."""
+    inc_g = _gvec(incoming_toa)
+    cs_g = _gvec(cs)                            # (1, ...) vs (ng, ...)
 
     # 1) direct beam descent
     def dir_body(fd, tdd):
         fd_next = tdd * fd
         return fd_next, fd_next
 
-    _, fdir_rest = jax.lax.scan(dir_body, incoming_toa, mv(trans_dir_dir))
-    flux_dn_direct = jnp.concatenate([incoming_toa[None], fdir_rest], 0)
+    _, fdir_rest = jax.lax.scan(dir_body, inc_g,
+                                _to_gfirst(trans_dir_dir))
+    flux_dn_direct = jnp.concatenate([inc_g[None], fdir_rest], 0)
     fdir_top = flux_dn_direct[:-1]              # entering each layer
 
-    # 2) albedo & source ascent
-    source_surf = albedo_direct * flux_dn_direct[-1] * cs
+    # 2) albedo & source ascent (reverse scan: surface->TOA, ys land
+    # TOA-first with no flip copies)
+    alb_diff_g = _gvec(albedo_diffuse)
+    source_surf = _gvec(albedo_direct) * flux_dn_direct[-1] * cs_g
 
     def up_body(carry, x):
         albedo_below, source_below = carry
@@ -283,14 +298,12 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
                   * inv_denom)
         return (albedo, source), (albedo, source, inv_denom)
 
-    xs = tuple(jnp.flip(v, 0) for v in (mv(ref), mv(trans), mv(ref_dir),
-                                        mv(trans_dir_diff), fdir_top))
-    (_, _), (alb_r, src_r, invd_r) = jax.lax.scan(
-        up_body, (albedo_diffuse, source_surf), xs)
-    albedo = jnp.concatenate([jnp.flip(alb_r, 0),
-                              albedo_diffuse[None]], 0)
-    source = jnp.concatenate([jnp.flip(src_r, 0), source_surf[None]], 0)
-    inv_denom = jnp.flip(invd_r, 0)
+    xs = (_to_gfirst(ref), _to_gfirst(trans), _to_gfirst(ref_dir),
+          _to_gfirst(trans_dir_diff), fdir_top)
+    (_, _), (alb_t, src_t, inv_denom) = jax.lax.scan(
+        up_body, (alb_diff_g, source_surf), xs, reverse=True)
+    albedo = jnp.concatenate([alb_t, alb_diff_g[None]], 0)
+    source = jnp.concatenate([src_t, source_surf[None]], 0)
 
     # 3) diffuse flux descent
     def dn_body(fd, x):
@@ -298,13 +311,11 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
         fd_next = (t * fd + r * s_below + tdd * fdt) * invd
         return fd_next, fd_next
 
-    xs2 = (mv(trans), mv(ref), mv(trans_dir_diff), fdir_top,
-           source[1:], inv_denom)
-    zero = jnp.zeros_like(incoming_toa)
+    xs2 = (xs[1], xs[0], xs[3], fdir_top, source[1:], inv_denom)
+    zero = jnp.zeros_like(inc_g)
     _, fd_rest = jax.lax.scan(dn_body, zero, xs2)
     flux_dn_diffuse = jnp.concatenate([zero[None], fd_rest], 0)
     flux_up = albedo * flux_dn_diffuse + source
 
-    back = lambda x: jnp.moveaxis(x, 0, axis)
-    return (back(flux_up), back(flux_dn_diffuse),
-            back(flux_dn_direct) * cs[..., None, :])
+    return (_from_gfirst(flux_up), _from_gfirst(flux_dn_diffuse),
+            _from_gfirst(flux_dn_direct * cs_g))
