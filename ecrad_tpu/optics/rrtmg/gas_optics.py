@@ -146,9 +146,10 @@ def gas_optics(pressure_hl, temperature_hl, gas_mmr, skin_temperature,
     c = setcoef(gc, t["preflog"], t["tref"], t["chi_mls"])
 
     # ---- LW -------------------------------------------------------------
-    od_lw_rrtm, pfrac = taumol_lw(c, t)   # (ncol, nlev, 140) surface-first
-    od_lw = jnp.maximum(min_gas_od_lw,
-                        od_lw_rrtm[:, ::-1, :])  # flip to TOA-first
+    # toa_first: the flip is folded into the fused kernel's (ncol, nlev)
+    # coeff inputs instead of copying two (ncol, nlev, 140) outputs
+    od_lw_rrtm, pfrac = taumol_lw(c, t, toa_first=True)
+    od_lw = jnp.maximum(min_gas_od_lw, od_lw_rrtm)
     od_lw = od_lw[:, :, spec.g_from_reordered_g_lw]
 
     # Planck on half-levels: reference evaluates T at each half level and
@@ -160,7 +161,7 @@ def gas_optics(pressure_hl, temperature_hl, gas_mmr, skin_temperature,
     delwave = jnp.asarray(t["delwave"], dtype)
     planck_bands = _planck_store(temperature_hl.astype(dtype),
                                  totplnk, delwave)  # (ncol, nlev+1, 16)
-    pfrac_toa = pfrac[:, ::-1, :]        # (ncol, nlev, 140) TOA-first
+    pfrac_toa = pfrac                    # (ncol, nlev, 140) TOA-first
     # layer index per half level: [0, 0, 1, ..., nlev-1] (TOA-first):
     # reference jlev=1 (TOA in its reversed output) uses layer nlev
     # (surface-first) == TOA-first layer 0; others use the layer above.
@@ -173,7 +174,7 @@ def gas_optics(pressure_hl, temperature_hl, gas_mmr, skin_temperature,
     # Surface emission: Planck(Tskin) x PFRAC(surface layer) x (1-albedo)
     planck_surf_bands = _planck_store(skin_temperature.astype(dtype),
                                       totplnk, delwave)  # (ncol, 16)
-    pfrac_surf = pfrac[:, 0, :]          # surface layer, surface-first
+    pfrac_surf = pfrac[:, -1, :]         # surface layer (TOA-first)
     planck_surf = (planck_surf_bands[:, band_map[spec.g_from_reordered_g_lw]]
                    * pfrac_surf[:, spec.g_from_reordered_g_lw])
     if lw_albedo is not None:
@@ -182,12 +183,12 @@ def gas_optics(pressure_hl, temperature_hl, gas_mmr, skin_temperature,
         lw_emission = planck_surf
 
     # ---- SW -------------------------------------------------------------
-    taug, taur, sflux = taumol_sw(c, t)
+    taug, taur, sflux = taumol_sw(c, t, toa_first=True)
     od_sw_rrtm = taug + taur
     # clip: TPU reciprocal-based division can return values an ulp above 1
     ssa_sw_rrtm = jnp.clip(taur / jnp.maximum(od_sw_rrtm, 1e-30), 0.0, 1.0)
-    od_sw = jnp.maximum(min_gas_od_sw, od_sw_rrtm[:, ::-1, :])
-    ssa_sw = ssa_sw_rrtm[:, ::-1, :]
+    od_sw = jnp.maximum(min_gas_od_sw, od_sw_rrtm)
+    ssa_sw = ssa_sw_rrtm
     od_sw = od_sw[:, :, spec.g_from_reordered_g_sw]
     ssa_sw = ssa_sw[:, :, spec.g_from_reordered_g_sw]
 

@@ -231,11 +231,14 @@ def _chi_adjust(col, coldry, ref, thresh, base, expo):
     return jnp.where(rat > thresh, adjcol, col)
 
 
-def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
-    """All 16 LW bands. Returns (tau, pfrac), each (ncol, nlev, 140).
+def taumol_lw(c2: Coeffs, t: dict, use_pallas=None, toa_first=False):
+    """All 16 LW bands. Returns (tau, pfrac), each (ncol, nlev, 140),
+    levels surface-first (toa_first=False) or TOA-first.
 
     On TPU in f32 this dispatches to the fused all-band kernel
-    (taumol_lw_fused.py): one launch, rows/weights computed in VMEM.
+    (taumol_lw_fused.py): one launch, rows/weights computed in VMEM;
+    with toa_first the kernel also emits cell-major output so the level
+    flip and the (ncol*nlev, 140) relayout cost nothing.
     Set ECRAD_FUSED_TAUMOL=0 to force the per-band Section path."""
     import os
     from ..rrtmg.taumol_lw_fused import taumol_lw_fused
@@ -245,7 +248,11 @@ def taumol_lw(c2: Coeffs, t: dict, use_pallas=None):
                    else use_pallas_default())
     if (fused_env != "0" and want_pallas
             and c2.colh2o.dtype == jnp.float32):
-        return taumol_lw_fused(c2, t, use_pallas=True)
+        return taumol_lw_fused(c2, t, use_pallas=True,
+                               toa_first=toa_first)
+    if toa_first:
+        tau, pfrac = taumol_lw(c2, t, use_pallas=use_pallas)
+        return tau[:, ::-1], pfrac[:, ::-1]
 
     ncol, nlev = c2.tropo.shape
     n = ncol * nlev

@@ -687,13 +687,20 @@ TAB_FIELDS = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
 
 
 def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
-                          tile: int = 256):
-    """(tau, pfrac) each (140, N) from packed (NF, N)/(NI, N) inputs."""
+                          tile: int = 256, cell_major: bool = False):
+    """(tau, pfrac) from packed (NF, N)/(NI, N) inputs.
+
+    cell_major=False: each output is (140, N) (g-major, historic form).
+    cell_major=True: each output is (N, 140) — the kernel transposes the
+    (140, tile) result in VMEM so no (ncol*nlev, 140) relayout is ever
+    materialized in HBM afterwards (measured ~2.6 ms per array at 280k
+    cells otherwise)."""
     n = fc.shape[1]
     tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS}
     if not use_pallas:
         tabs = {k: jnp.asarray(v) for k, v in tabs_np.items()}
-        return lw_fused_body(fc, ic, tabs, fd.meta)
+        tau, pfrac = lw_fused_body(fc, ic, tabs, fd.meta)
+        return (tau.T, pfrac.T) if cell_major else (tau, pfrac)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -711,8 +718,12 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
         tau_ref, pf_ref = refs[len(TAB_FIELDS):]
         tabs = {k: r[:] for k, r in zip(TAB_FIELDS, tab_refs)}
         tau, pfrac = lw_fused_body(fc_ref[:], ic_ref[:], tabs, meta)
-        tau_ref[:] = tau
-        pf_ref[:] = pfrac
+        if cell_major:
+            tau_ref[:] = tau.T
+            pf_ref[:] = pfrac.T
+        else:
+            tau_ref[:] = tau
+            pf_ref[:] = pfrac
 
     nf, ni = fc.shape[0], ic.shape[0]
     in_specs = [
@@ -725,31 +736,47 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
         in_specs.append(pl.BlockSpec(
             v.shape, (lambda i: (0, 0)) if v.ndim == 2 else
             (lambda i: (0,)), memory_space=pltpu.VMEM))
-    out_specs = [
-        pl.BlockSpec((140, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((140, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
+    if cell_major:
+        out_spec = pl.BlockSpec((tile, 140), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, 140), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((140, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((140, n_pad), jnp.float32)
     tau, pfrac = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((140, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((140, n_pad), jnp.float32)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
     )(fc, ic, *tab_vals)
+    if cell_major:
+        return tau[:n], pfrac[:n]
     return tau[:, :n], pfrac[:, :n]
 
 
-def taumol_lw_fused(c2: Coeffs, t: dict, use_pallas: bool):
-    """Drop-in for taumol_lw: returns (tau, pfrac) as (ncol, nlev, 140),
-    levels surface-first."""
+def taumol_lw_fused(c2: Coeffs, t: dict, use_pallas: bool,
+                    toa_first: bool = False):
+    """Drop-in for taumol_lw: returns (tau, pfrac) as (ncol, nlev, 140).
+
+    toa_first=False: levels surface-first (the reference's RRTM order).
+    toa_first=True: the per-cell coeff fields are flipped along the
+    level axis BEFORE flattening (45 small (ncol, nlev) flips instead of
+    two (ncol, nlev, 140) flips downstream) and the kernel emits
+    cell-major output, so the result reshapes to TOA-first
+    (ncol, nlev, 140) with no transpose."""
     ncol, nlev = c2.tropo.shape
+    if toa_first:
+        c2 = Coeffs(*[x[:, ::-1] for x in c2])
     c = Coeffs(*[x.reshape(-1) for x in c2])
     fd = build_lw_fused(t)
     fc, ic = pack_coeffs(c, t)
-    tau, pfrac = _taumol_lw_fused_flat(fc, ic, fd, use_pallas)
+    tau, pfrac = _taumol_lw_fused_flat(fc, ic, fd, use_pallas,
+                                       cell_major=toa_first)
+    if toa_first:
+        return (tau.reshape(ncol, nlev, 140),
+                pfrac.reshape(ncol, nlev, 140))
     tau = tau.reshape(140, ncol, nlev).transpose(1, 2, 0)
     pfrac = pfrac.reshape(140, ncol, nlev).transpose(1, 2, 0)
     return tau, pfrac

@@ -83,9 +83,10 @@ def _sflux_eta(sfluxref, js_lay, fs_lay):
     return _lin(tabt, js_lay, fs_lay)
 
 
-def taumol_sw(c2: Coeffs, t: dict, use_pallas=None):
+def taumol_sw(c2: Coeffs, t: dict, use_pallas=None, toa_first=False):
     """All 14 SW bands. Returns (taug, taur, sfluxzen):
-    taug/taur (ncol, nlev, 112), sfluxzen (ncol, 112).
+    taug/taur (ncol, nlev, 112) surface-first (or TOA-first),
+    sfluxzen (ncol, 112).
 
     On TPU in f32 this dispatches to the fused all-band kernel
     (taumol_sw_fused.py). ECRAD_FUSED_TAUMOL=0 forces the per-band
@@ -97,7 +98,11 @@ def taumol_sw(c2: Coeffs, t: dict, use_pallas=None):
                    else use_pallas_default())
     if (os.environ.get("ECRAD_FUSED_TAUMOL", "1") != "0" and want_pallas
             and c2.colh2o.dtype == jnp.float32):
-        return taumol_sw_fused(c2, t, use_pallas=True)
+        return taumol_sw_fused(c2, t, use_pallas=True,
+                               toa_first=toa_first)
+    if toa_first:
+        taug, taur, sflux = taumol_sw(c2, t, use_pallas=use_pallas)
+        return taug[:, ::-1], taur[:, ::-1], sflux
 
     dtype = c2.colh2o.dtype
     ncol, nlev = c2.colh2o.shape

@@ -329,12 +329,15 @@ TAB_FIELDS_SW = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
 
 
 def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
-                          tile: int = 256):
+                          tile: int = 256, cell_major: bool = False):
+    """cell_major=True emits (N, 112) outputs (in-VMEM transpose; no
+    HBM relayout afterwards) — see taumol_lw_fused."""
     n = fc.shape[1]
     tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS_SW}
     if not use_pallas:
         tabs = {k: jnp.asarray(v) for k, v in tabs_np.items()}
-        return sw_fused_body(fc, ic, tabs, fd.meta)
+        taug, taur = sw_fused_body(fc, ic, tabs, fd.meta)
+        return (taug.T, taur.T) if cell_major else (taug, taur)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -351,8 +354,12 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
         tg_ref, tr_ref = refs[len(TAB_FIELDS_SW):]
         tabs = {k: r[:] for k, r in zip(TAB_FIELDS_SW, tab_refs)}
         taug, taur = sw_fused_body(fc_ref[:], ic_ref[:], tabs, meta)
-        tg_ref[:] = taug
-        tr_ref[:] = taur
+        if cell_major:
+            tg_ref[:] = taug.T
+            tr_ref[:] = taur.T
+        else:
+            tg_ref[:] = taug
+            tr_ref[:] = taur
 
     nf, ni = fc.shape[0], ic.shape[0]
     in_specs = [
@@ -364,36 +371,52 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
     for v in tab_vals:
         in_specs.append(pl.BlockSpec(v.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    out_specs = [
-        pl.BlockSpec((112, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((112, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
+    if cell_major:
+        out_spec = pl.BlockSpec((tile, 112), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, 112), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((112, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((112, n_pad), jnp.float32)
     taug, taur = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((112, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((112, n_pad), jnp.float32)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
     )(fc, ic, *tab_vals)
+    if cell_major:
+        return taug[:n], taur[:n]
     return taug[:, :n], taur[:, :n]
 
 
-def taumol_sw_fused(c2: Coeffs, t: dict, use_pallas: bool):
-    """Drop-in for taumol_sw: (taug, taur, sfluxzen)."""
+def taumol_sw_fused(c2: Coeffs, t: dict, use_pallas: bool,
+                    toa_first: bool = False):
+    """Drop-in for taumol_sw: (taug, taur, sfluxzen).
+
+    toa_first=True flips the coeff fields before flattening and emits
+    cell-major kernel output, so taug/taur reshape to TOA-first
+    (ncol, nlev, 112) with no transpose (see taumol_lw_fused). The
+    solar-source layer selection below always uses the original
+    surface-first c2 (layreffr indexing is surface-first)."""
     from .taumol_sw import (_at_layer, _eta, _laysolfr_strat,
                             _laysolfr_tropo, _sflux_1d, _sflux_eta)
 
     dtype = c2.colh2o.dtype
     ncol, nlev = c2.colh2o.shape
-    c = Coeffs(*[x.reshape(-1) for x in c2])
+    ck = Coeffs(*[x[:, ::-1] for x in c2]) if toa_first else c2
+    c = Coeffs(*[x.reshape(-1) for x in ck])
     fd = build_sw_fused(t)
     fc, ic = pack_coeffs_sw(c)
-    taug, taur = _taumol_sw_fused_flat(fc, ic, fd, use_pallas)
-    taug = taug.reshape(112, ncol, nlev).transpose(1, 2, 0)
-    taur = taur.reshape(112, ncol, nlev).transpose(1, 2, 0)
+    taug, taur = _taumol_sw_fused_flat(fc, ic, fd, use_pallas,
+                                       cell_major=toa_first)
+    if toa_first:
+        taug = taug.reshape(ncol, nlev, 112)
+        taur = taur.reshape(ncol, nlev, 112)
+    else:
+        taug = taug.reshape(112, ncol, nlev).transpose(1, 2, 0)
+        taur = taur.reshape(112, ncol, nlev).transpose(1, 2, 0)
 
     # ---- solar source (XLA-side; per-column, cross-level) --------------
     def eta2d(col1, col2, strrat, mult):

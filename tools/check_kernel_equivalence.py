@@ -90,19 +90,25 @@ def check_fused_taumol():
 
     for name, fn in (("taumol_lw_fused", taumol_lw_fused),
                      ("taumol_sw_fused", taumol_sw_fused)):
-        run = jax.jit(lambda co, up: fn(co, t, use_pallas=up),
-                      static_argnums=1)
-        got, ref = run(c, True), run(c, False)
-        for i, (x, y) in enumerate(zip(jax.tree.leaves(got),
-                                       jax.tree.leaves(ref))):
-            x, y = np.asarray(x), np.asarray(y)
-            mask = np.abs(y) > 1e-8
-            rel = (np.abs(x - y)[mask] / np.abs(y)[mask]).max() \
-                if mask.any() else 0.0
-            ok = np.abs(x - y).max() < 1e-6 or rel < 2e-5
-            print(f"{name}[{i}]: maxabs {np.abs(x - y).max():.2e} "
-                  f"rel {rel:.2e}  {'OK' if ok else 'FAIL'}")
-            assert ok, name
+        run = jax.jit(lambda co, up, tf: fn(co, t, use_pallas=up,
+                                            toa_first=tf),
+                      static_argnums=(1, 2))
+        ref = run(c, False, False)
+        for toa in (False, True):
+            got = run(c, True, toa)
+            for i, (x, y) in enumerate(zip(jax.tree.leaves(got),
+                                           jax.tree.leaves(ref))):
+                x, y = np.asarray(x), np.asarray(y)
+                if toa and x.ndim == 3:       # level-flipped layout
+                    x = x[:, ::-1]
+                mask = np.abs(y) > 1e-8
+                rel = (np.abs(x - y)[mask] / np.abs(y)[mask]).max() \
+                    if mask.any() else 0.0
+                ok = np.abs(x - y).max() < 1e-6 or rel < 2e-5
+                print(f"{name}[{i}] toa_first={toa}: maxabs "
+                      f"{np.abs(x - y).max():.2e} rel {rel:.2e}  "
+                      f"{'OK' if ok else 'FAIL'}")
+                assert ok, name
 
 
 if __name__ == "__main__":
