@@ -41,26 +41,32 @@ def lw_derivatives_ica(transmittance, flux_up_surf):
     return jnp.concatenate([deriv_levels, ones], axis=1)
 
 
-def lw_derivatives_region(trans_g, um_g, flux_up_surf):
+def lw_derivatives_region(trans_g, um_g, flux_up_surf, gfirst=False):
     """Region form (radiation_lw_derivatives.F90:199-257).
 
     trans_g: (nlev, nreg, ncol, ng) per-region diffuse transmittance
-      (g-minor layout, TOA-first as in the Tripleclouds solver).
-    um_g: (nlev+1, nreg, nreg, ncol, 1) upward overlap matrices per
-      interface (interface i sits above layer i).
+      (TOA-first), or (nlev, nreg, ng, ncol) with gfirst=True (the
+      Tripleclouds solver's internal layout).
+    um_g: (nlev+1, nreg, nreg, ncol, 1) (or (..., 1, ncol)) upward
+      overlap matrices per interface (interface i sits above layer i).
     flux_up_surf: (ncol, ng) surface spectral up-flux summed over regions.
     Returns (ncol, nlev+1)."""
-    nlev, nreg, ncol, ng = trans_g.shape
+    nlev, nreg = trans_g.shape[:2]
+    ncol = trans_g.shape[-1] if gfirst else trans_g.shape[-2]
     norm = _normalized_surface_flux(flux_up_surf)
+    if gfirst:
+        norm = norm.T
     # surface treated as a single clear-sky layer: region 1 only
-    v0 = jnp.zeros((nreg, ncol, ng), trans_g.dtype).at[0].set(norm)
+    v0 = jnp.zeros((nreg,) + trans_g.shape[2:],
+                   trans_g.dtype).at[0].set(norm)
+    g_axis = 1 if gfirst else 2
 
     def body(v, xs):
         t_l, um_l = xs
         # overlap at the interface below this layer, then transmittance
         v = (um_l * v[None]).sum(axis=1)
         v = t_l * v
-        return v, v.sum(axis=(0, 2))
+        return v, v.sum(axis=(0, g_axis))
 
     # upward sweep: layer nlev-1 uses U at interface nlev, ..., layer 0
     # uses U at interface 1
@@ -71,22 +77,29 @@ def lw_derivatives_region(trans_g, um_g, flux_up_surf):
     return jnp.concatenate([deriv_levels, ones], axis=1)
 
 
-def lw_derivatives_matrix(trans_g, um_g, flux_up_surf):
+def lw_derivatives_matrix(trans_g, um_g, flux_up_surf, gfirst=False):
     """Matrix form (radiation_lw_derivatives.F90:137-196).
 
-    trans_g: (nlev, nreg, nreg, ncol, ng) layer transmittance matrices
-      (g-minor layout as in the SPARTACUS solver).
-    um_g/flux_up_surf: as in lw_derivatives_region.
+    trans_g: (nlev, nreg, nreg, ncol, ng) layer transmittance matrices,
+      or (nlev, nreg, nreg, ng, ncol) with gfirst=True (the SPARTACUS
+      solver's internal layout).
+    um_g/flux_up_surf: as in lw_derivatives_region (um_g batch dims
+      follow trans_g's).
     Returns (ncol, nlev+1)."""
-    nlev, nreg, _, ncol, ng = trans_g.shape
+    nlev, nreg = trans_g.shape[:2]
+    ncol = trans_g.shape[-1] if gfirst else trans_g.shape[-2]
     norm = _normalized_surface_flux(flux_up_surf)
-    v0 = jnp.zeros((nreg, ncol, ng), trans_g.dtype).at[0].set(norm)
+    if gfirst:
+        norm = norm.T
+    v0 = jnp.zeros((nreg,) + trans_g.shape[3:],
+                   trans_g.dtype).at[0].set(norm)
+    g_axis = 1 if gfirst else 2
 
     def body(v, xs):
         t_l, um_l = xs
         v = (um_l * v[None]).sum(axis=1)
         v = (t_l * v[None, :]).sum(axis=1)          # mat x vec over regions
-        return v, v.sum(axis=(0, 2))
+        return v, v.sum(axis=(0, g_axis))
 
     _, derivs = jax.lax.scan(
         body, v0, (jnp.flip(trans_g, 0), jnp.flip(um_g[1:], 0)))

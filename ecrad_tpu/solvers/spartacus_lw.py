@@ -8,10 +8,13 @@ matrix exponential -> reflectance/transmittance/source matrices, then
 upward albedo/source accumulation (diagonal or full-matrix depending on
 do_3d_effects / do_3d_lw_multilayer_effects) and the downward flux pass.
 
-Like the shortwave solver, all matrix algebra is in the g-minor layout
-(m, n, ncol, ng) with the per-level Gamma exponential evaluated inside a
+Like the shortwave solver, all matrix algebra keeps the small matrix
+dims LEADING with the per-level Gamma exponential evaluated inside a
 level scan (see spartacus_sw.py for the rationale: trailing small matrix
-dims pad ~25x on TPU).
+dims pad ~25x on TPU). The per-level batch layout is (ng, ncol) — g in
+SUBLANES, columns in lanes — because ng=140 in the lane dim pads to 256
+(1.8x HBM amplification on every scan step) while 140 sublanes pad only
+to 144 (measured 2.2x faster scans; see solvers/adding.py).
 """
 from __future__ import annotations
 
@@ -47,8 +50,9 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     u_mat, v_mat, tcc = calc_overlap_matrices(
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
-    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None]
-    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None]
+    # (nlev+1, nreg, nreg, 1, ncol): batch dims are (ng, ncol) g-first
+    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None, :]
+    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None, :]
 
     dz = _layer_depth(thermodynamics)
     if cloud.inv_cloud_effective_size is not None and cfg.do_3d_effects:
@@ -83,10 +87,11 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         od_list.append(jnp.where(cloud_mask, od_t, od))
         ssa_list.append(jnp.where(cloud_mask, ssa_t, 0.0))
         g_list.append(jnp.where(cloud_mask, g_t, 0.0))
-    # (nlev, nreg, ncol, ng)
-    od_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in od_list], axis=1)
-    ssa_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in ssa_list], axis=1)
-    g_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in g_list], axis=1)
+    # (nlev, nreg, ng, ncol)
+    gf = lambda x: jnp.transpose(x, (1, 2, 0))
+    od_r = jnp.stack([gf(x) for x in od_list], axis=1)
+    ssa_r = jnp.stack([gf(x) for x in ssa_list], axis=1)
+    g_r = jnp.stack([gf(x) for x in g_list], axis=1)
 
     # --- lateral transfer rates + side emissivity -------------------------
     eps = 1.2e-7
@@ -109,40 +114,41 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                   base3 / jnp.maximum(reg_fracs[:, :, 2], eps), 0.0))
     tr = jnp.minimum(tr, cfg.max_3d_transfer_rate)
     tr = jnp.where(has_3d[:, :, None, None], tr, 0.0)
-    tr_g = jnp.transpose(tr, (1, 2, 3, 0))[..., None]  # (nlev,3,3,ncol,1)
+    # (nlev, 3, 3, 1, ncol)
+    tr_g = jnp.transpose(tr, (1, 2, 3, 0))[..., None, :]
 
-    # side emissivity (ncol, nlev, ng); reference :636-655
+    # side emissivity in the g-first layout (nlev, ng, ncol);
+    # reference :636-655
     if cfg.do_lw_side_emissivity and cfg.do_3d_effects and \
             cloud.inv_cloud_effective_size is not None:
         inv_size = jnp.minimum(cloud.inv_cloud_effective_size,
                                1.0 / cfg.min_cloud_effective_size)
         aspect = 1.0 / jnp.maximum(
-            inv_size * reg_fracs[:, :, 0] * dz, 1e-12)
-        ssa_c = jnp.moveaxis(ssa_r[:, 1], 0, 1)    # region 2 (ncol,nlev,ng)
-        g_c = jnp.moveaxis(g_r[:, 1], 0, 1)
-        abs_od = jnp.moveaxis(
-            (od_r[:, 1:] * (1.0 - ssa_r[:, 1:])).sum(axis=1), 0, 1)
-        lateral_od = (aspect / (nreg - 1.0))[..., None] * abs_od
+            inv_size * reg_fracs[:, :, 0] * dz, 1e-12)     # (ncol, nlev)
+        ssa_c = ssa_r[:, 1]                        # region 2 (nlev,ng,ncol)
+        g_c = g_r[:, 1]
+        abs_od = (od_r[:, 1:] * (1.0 - ssa_r[:, 1:])).sum(axis=1)
+        lateral_od = (aspect.T / (nreg - 1.0))[:, None, :] * abs_od
         s1ms = jnp.sqrt(jnp.maximum(1.0 - ssa_c, 0.0))
         thick = 2.0 * s1ms / jnp.maximum(
             s1ms + jnp.sqrt(jnp.maximum(1.0 - ssa_c * g_c, 0.0)), 1e-12)
         side_emiss = (SIDE_EMISS_THIN - thick) / (lateral_od + 1.0) + thick
         active = (has_3d & (reg_fracs[:, :, 0] > 0.0)
-                  & (reg_fracs[:, :, 1] > 0.0))[..., None]
-        side_emiss = jnp.where(active, side_emiss, 1.0)
+                  & (reg_fracs[:, :, 1] > 0.0)).T[:, None, :]
+        se_g = jnp.where(active, side_emiss, 1.0)
     else:
-        side_emiss = jnp.ones((ncol, nlev, ng), dtype)
-    se_g = jnp.moveaxis(side_emiss, 1, 0)          # (nlev, ncol, ng)
+        se_g = jnp.ones((nlev, ng, ncol), dtype)
 
-    # planck per level (nlev, ncol, ng)
-    planck_top_g = jnp.moveaxis(planck_hl[:, :-1, :], 1, 0)
-    planck_bot_g = jnp.moveaxis(planck_hl[:, 1:, :], 1, 0)
-    frac_g = jnp.transpose(reg_fracs, (1, 2, 0))[..., None]  # (nlev,nreg,ncol,1)
+    # planck per level (nlev, ng, ncol)
+    planck_top_g = jnp.transpose(planck_hl[:, :-1, :], (1, 2, 0))
+    planck_bot_g = jnp.transpose(planck_hl[:, 1:, :], (1, 2, 0))
+    # (nlev, nreg, 1, ncol)
+    frac_g = jnp.transpose(reg_fracs, (1, 2, 0))[:, :, None, :]
 
     g_ok = od <= cfg.max_gas_od_3d
     use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
-    use3d_g = jnp.moveaxis(use3d, 1, 0)
-    clear_g = jnp.moveaxis(clear_lay, 1, 0)
+    use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
+    clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
     n2 = 2 * nreg
 
@@ -268,7 +274,7 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
         sup = jnp.where(sel, sup3, sumw)
         sdn = jnp.where(sel, sdn3, sdmw)
-        is_clear = clear_l[..., None]
+        is_clear = clear_l[None, :]                 # (1, ncol) vs (ng, ncol)
         ref = _zero_offdiag_clear(ref, is_clear)
         trans = _zero_offdiag_clear(trans, is_clear)
         sup = _zero_cloudy_vec(sup, is_clear)
@@ -292,9 +298,9 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     use_matrix = cfg.do_3d_effects or cfg.do_3d_lw_multilayer_effects
 
     # ---------------- upward pass -----------------------------------------
-    alb0 = _diag_g(jnp.stack([albedo] * nreg, 0), nreg)
-    src0 = jnp.moveaxis(
-        emission[:, :, None] * reg_fracs[:, -1, None, :], -1, 0)
+    alb0 = _diag_g(jnp.stack([albedo.T] * nreg, 0), nreg)
+    # (nreg, ng, ncol)
+    src0 = emission.T[None] * reg_fracs[:, -1].T[:, None, :]
 
     fields_up = (od_r, ssa_r, g_r, tr_g, se_g, planck_top_g,
                  planck_bot_g, frac_g, use3d_g, clear_g,
@@ -321,11 +327,11 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
             inv = 1.0 / (1.0 - Ad * Rd)
             alb_below = _diag_g(Rd + Td * Td * Ad * inv, nreg)
             src_below = SU + Td * (src + Ad * SD) * inv
-        is_clear = cl_l[:, None]
+        is_clear = cl_l[None, :]
         alb_below = _zero_offdiag_clear(alb_below, is_clear)
         src_below = _zero_cloudy_vec(src_below, is_clear)
 
-        both_clear = (cl_l & cl_prev)[:, None]
+        both_clear = (cl_l & cl_prev)[None, :]
         src_mixed = mv_g(um, src_below)
         if cfg.do_3d_lw_multilayer_effects:
             alb_mixed = mm_g(mm_g(um, alb_below), vm)
@@ -345,7 +351,7 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         up_body, (alb0, src0), fields_up, reverse=True)
 
     # ---------------- downward pass ---------------------------------------
-    fdn0 = jnp.zeros((nreg, ncol, ng), dtype)
+    fdn0 = jnp.zeros((nreg, ng, ncol), dtype)
     clear_next = jnp.concatenate(
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
     fields_dn = (ref, trans, sdn, alb_below_layer, src_below_layer,
@@ -368,22 +374,23 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
             fdn_above = (Td * flux_dn + Rd * src_b + SD) / (
                 1.0 - Rd * Ad)
             fup_above = src_b + Ad * fdn_above
-        is_clear = cl_l[:, None]
+        is_clear = cl_l[None, :]
         fdn_above = _zero_cloudy_vec(fdn_above, is_clear)
         fup_above = _zero_cloudy_vec(fup_above, is_clear)
-        both_clear = (cl_l & cl_next)[:, None]
+        both_clear = (cl_l & cl_next)[None, :]
         fdn_mixed = mv_g(vm, fdn_above)
         fdn_out = jnp.where(both_clear, fdn_above, fdn_mixed)
         return fdn_out, (fup_above, fdn_out)
 
     _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, fdn0, fields_dn)
 
-    up_prof = jnp.moveaxis(
+    # (nlev+1, ng, ncol) -> (ncol, nlev+1, ng)
+    up_prof = jnp.transpose(
         jnp.concatenate([src_top.sum(0)[None], fup_hist.sum(1)], axis=0),
-        0, 1)
-    dn_prof = jnp.moveaxis(
-        jnp.concatenate([jnp.zeros((1, ncol, ng), dtype),
-                         fdn_hist.sum(1)], axis=0), 0, 1)
+        (2, 0, 1))
+    dn_prof = jnp.transpose(
+        jnp.concatenate([jnp.zeros((1, ng, ncol), dtype),
+                         fdn_hist.sum(1)], axis=0), (2, 0, 1))
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     extras = {}
@@ -393,7 +400,7 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         # transmittance matrices and the U overlap at each interface
         from .lw_derivatives import lw_derivatives_matrix
         extras["lw_derivatives"] = lw_derivatives_matrix(
-            trans, um_g, up_prof[:, -1, :])
+            trans, um_g, up_prof[:, -1, :], gfirst=True)
 
     # ---------------- clear sky -------------------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes

@@ -11,7 +11,7 @@ incl. step_migrations for horizontal migration distances), downward flux
 pass (:1484-1650).
 
 TPU mapping: all columns/g-points batched; levels via lax.scan. All
-matrix algebra uses the "g-minor" layout (m, n, ncol, ng) — matrix dims
+matrix algebra uses the "g-minor" layout (m, n, ng, ncol) — matrix dims
 leading, batch dims minor — because TPU tiling pads the two minor axes
 to (8, 128) and trailing 9x9 matrices would waste ~25x memory/bandwidth
 (see solvers/matrix.py mm_g/expm_g/solve_g). The per-layer Gamma
@@ -113,11 +113,11 @@ def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
                           use3d=None):
     """One level's region-coupled reflectance/transmittance matrices.
 
-    Inputs in g-minor layout: od_rg/ssa_rg/g_rg (nreg, ncol, ng);
-    trd/trf (nreg, nreg, ncol, 1); mu0 (ncol, 1). Returns 5 matrices
-    (nreg, nreg, ncol, ng). Reference :708-830.
+    Inputs in g-first layout: od_rg/ssa_rg/g_rg (nreg, ng, ncol);
+    trd/trf (nreg, nreg, 1, ncol); mu0 (1, ncol). Returns 5 matrices
+    (nreg, nreg, ng, ncol). Reference :708-830.
 
-    use3d (ncol, ng): where False the caller discards this result in
+    use3d (ng, ncol): where False the caller discards this result in
     favour of the Meador-Weaver fallback, so Gamma is zeroed there
     (expm(0) = I). This keeps the per-level squaring count at the max
     over *3D-treated* points only — clear levels and low-sun columns
@@ -255,9 +255,10 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     u_mat, v_mat, tcc = calc_overlap_matrices(
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
-    # g-minor copies for the scans: (nlev+1, nreg, nreg, ncol, 1)
-    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None]
-    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None]
+    # copies for the scans: (nlev+1, nreg, nreg, 1, ncol) — batch dims
+    # are (ng, ncol) g-first throughout (see spartacus_lw.py docstring)
+    um_g = jnp.moveaxis(u_mat, (1, 2, 3), (0, 1, 2))[..., None, :]
+    vm_g = jnp.moveaxis(v_mat, (1, 2, 3), (0, 1, 2))[..., None, :]
 
     dz = _layer_depth(thermodynamics)             # (ncol, nlev)
     if cloud.inv_cloud_effective_size is not None and cfg.do_3d_effects:
@@ -271,9 +272,9 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     has_3d = cloudy & (edge_len[:, :, 0] > 0.0)
     tr_dir = jnp.where(has_3d[:, :, None, None], tr_dir, 0.0)
     tr_diff = jnp.where(has_3d[:, :, None, None], tr_diff, 0.0)
-    # (nlev, nreg, nreg, ncol, 1)
-    trd_g = jnp.transpose(tr_dir, (1, 2, 3, 0))[..., None]
-    trf_g = jnp.transpose(tr_diff, (1, 2, 3, 0))[..., None]
+    # (nlev, nreg, nreg, 1, ncol)
+    trd_g = jnp.transpose(tr_dir, (1, 2, 3, 0))[..., None, :]
+    trf_g = jnp.transpose(tr_diff, (1, 2, 3, 0))[..., None, :]
 
     # --- per-region optical properties -----------------------------------
     odc = od_cloud[:, :, band_from_g]
@@ -294,19 +295,20 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         od_list.append(jnp.where(cloud_mask, od_t, od))
         ssa_list.append(jnp.where(cloud_mask, ssa_t, ssa))
         g_list.append(jnp.where(cloud_mask, g_t, g))
-    # g-minor stacks: (nlev, nreg, ncol, ng)
-    od_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in od_list], axis=1)
-    ssa_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in ssa_list], axis=1)
-    g_r = jnp.stack([jnp.moveaxis(x, 1, 0) for x in g_list], axis=1)
+    # g-first stacks: (nlev, nreg, ng, ncol)
+    gfx = lambda x: jnp.transpose(x, (1, 2, 0))
+    od_r = jnp.stack([gfx(x) for x in od_list], axis=1)
+    ssa_r = jnp.stack([gfx(x) for x in ssa_list], axis=1)
+    g_r = jnp.stack([gfx(x) for x in g_list], axis=1)
 
-    # 3D-selection mask (ncol, nlev, ng) -> per level (ncol, ng)
+    # 3D-selection mask (ncol, nlev, ng) -> per level (ng, ncol)
     g_ok = od <= cfg.max_gas_od_3d
     use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
-    use3d_g = jnp.moveaxis(use3d, 1, 0)            # (nlev, ncol, ng)
+    use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
     clear_lay = ~cloudy
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
-    mu0_b = mu0[:, None]                           # (ncol, 1)
+    mu0_b = mu0[None, :]                           # (1, ncol)
 
     # clear-sky Meador-Weaver reftrans, vectorized over all levels
     # (elementwise; no scan needed): (ncol, nlev, ng)
@@ -328,10 +330,10 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     entrap = cfg.i_3d_sw_entrapment
 
     # ---------------- upward pass -----------------------------------------
-    alb0 = _diag_g(jnp.stack([albedo_diffuse] * nreg, 0), nreg)
-    albdir0 = _diag_g(jnp.stack([mu0[:, None] * albedo_direct] * nreg, 0),
-                      nreg)
-    x0 = jnp.zeros((nreg, ncol, ng), dtype)
+    alb0 = _diag_g(jnp.stack([albedo_diffuse.T] * nreg, 0), nreg)
+    albdir0 = _diag_g(jnp.stack([mu0[None, :] * albedo_direct.T] * nreg,
+                                0), nreg)
+    x0 = jnp.zeros((nreg, ng, ncol), dtype)
 
     x_layer_diffuse = dz * TAN_DIFFUSE_ANGLE_3D / np.sqrt(2.0)
     x_layer_direct = dz * jnp.sqrt(tan_sza[:, None] ** 2
@@ -345,7 +347,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     # materialized, and its per-level outputs land at the right index
     # for the downward pass directly. The per-level reflectance/
     # transmittance matrices are computed INSIDE this scan (rather than
-    # a prior scan that stacks five (nlev, nreg, nreg, ncol, ng)
+    # a prior scan that stacks five (nlev, nreg, nreg, ng, ncol)
     # histories plus their flips): only the six arrays the downward pass
     # consumes are ever stored, which is what lets 2048-column batches
     # fit in HBM.
@@ -380,13 +382,13 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
         rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
             mu0_b, od_l, ssa_l, g1, g2, g3)
-        sel = use3d_l                              # (..., ncol, ng)
+        sel = use3d_l                              # (..., ng, ncol)
         R = jnp.where(sel, ref3, _diag_g(rmw, nreg))
         T = jnp.where(sel, trans3, _diag_g(tmw, nreg))
         RD = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
         TD = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
         TDD = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
-        is_clear = cl_l[:, None]
+        is_clear = cl_l[None, :]
         R = _zero_offdiag_clear(R, is_clear)
         T = _zero_offdiag_clear(T, is_clear)
         RD = _zero_offdiag_clear(RD, is_clear)
@@ -411,13 +413,13 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
                 cfg, nreg, cf_l, dz_l, tan_sza, R, T, RD, TDD, TD,
                 alb, albdir, x_diff, x_dir, xld, xldir)
 
-        both_clear = (cl_l & cl_prev)[:, None]
+        both_clear = (cl_l & cl_prev)[None, :]
 
         if entrap == Entrapment.MAXIMUM:
             mixed = mm_g(mm_g(um, alb_below), vm)
             mixed_dir = mm_g(mm_g(um, albdir_below), vm)
         elif entrap == Entrapment.ZERO:
-            col_sum = alb_below.sum(axis=0)         # (nreg, ncol, ng)
+            col_sum = alb_below.sum(axis=0)         # (nreg, ng, ncol)
             mixed = _diag_g(mv_g(jnp.swapaxes(vm, 0, 1), col_sum), nreg)
             col_sum_d = albdir_below.sum(axis=0)
             mixed_dir = _diag_g(mv_g(jnp.swapaxes(vm, 0, 1), col_sum_d),
@@ -463,9 +465,8 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     (ref, trans, tdiff, tdd, alb_below_layer, albdir_below_layer) = ys_up
 
     # ---------------- downward pass ---------------------------------------
-    # direct0: (nreg, ncol, ng)
-    direct0 = jnp.moveaxis(
-        incoming_sw[:, :, None] * reg_fracs[:, 0, None, :], -1, 0)
+    # direct0: (nreg, ng, ncol)
+    direct0 = incoming_sw.T[None] * reg_fracs[:, 0].T[:, None, :]
     fup0 = mv_g(albdir_top, direct0)
 
     clear_next = jnp.concatenate(
@@ -475,7 +476,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
                  clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
 
     def dn_body(carry, xs):
-        flux_dn, direct_dn = carry     # (nreg, ncol, ng)
+        flux_dn, direct_dn = carry     # (nreg, ng, ncol)
         (R, T, TD, TDD, alb_b, albdir_b, cl_l, cl_next, vm) = xs
         source_dn = mv_g(TD, direct_dn)
         direct_above = mv_g(TDD, direct_dn)
@@ -486,11 +487,11 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         rhs = mv_g(T, flux_dn) + mv_g(R, total_source) + source_dn
         fdn_above = solve_vec_g(denom, rhs)
         fup_above = mv_g(alb_b, fdn_above) + total_source
-        is_clear = cl_l[:, None]
+        is_clear = cl_l[None, :]
         fdn_above = _zero_cloudy_vec(fdn_above, is_clear)
         fup_above = _zero_cloudy_vec(fup_above, is_clear)
         direct_above = _zero_cloudy_vec(direct_above, is_clear)
-        both_clear = (cl_l & cl_next)[:, None]
+        both_clear = (cl_l & cl_next)[None, :]
         fdn_mixed = mv_g(vm, fdn_above)
         ddn_mixed = mv_g(vm, direct_above)
         fdn_out = jnp.where(both_clear, fdn_above, fdn_mixed)
@@ -501,9 +502,9 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         dn_body, (jnp.zeros_like(direct0), direct0), fields_dn)
 
     def profile(top, hist):
-        # top (nreg, ncol, ng); hist (nlev, nreg, ncol, ng)
+        # top (nreg, ng, ncol); hist (nlev, nreg, ng, ncol)
         prof = jnp.concatenate([top.sum(0)[None], hist.sum(1)], axis=0)
-        return jnp.moveaxis(prof, 0, 1)            # (ncol, nlev+1, ng)
+        return jnp.transpose(prof, (2, 0, 1))      # (ncol, nlev+1, ng)
 
     up_prof = profile(fup0, fup_hist)
     dn_diff_prof = profile(jnp.zeros_like(fup0), fdn_hist)
@@ -528,11 +529,11 @@ def _step_migrations(cfg, nreg, cloud_frac, dz, tan_sza, R, T, RD, TDD,
                      TD, alb, albdir, x_diffuse, x_direct,
                      x_layer_diffuse, x_layer_direct):
     """Update horizontal migration distances
-    (radiation_spartacus_sw.F90 step_migrations). All matrices g-minor
-    (nreg, nreg, ncol, ng); vectors (nreg, ncol, ng); per-level scalars
+    (radiation_spartacus_sw.F90 step_migrations). All matrices g-first
+    (nreg, nreg, ng, ncol); vectors (nreg, ng, ncol); per-level scalars
     cloud_frac/dz/x_layer_* (ncol,)."""
-    xl_diff = x_layer_diffuse[None, :, None]   # (1, ncol, 1)
-    xl_dir = x_layer_direct[None, :, None]
+    xl_diff = x_layer_diffuse[None, None, :]   # (1, 1, ncol)
+    xl_dir = x_layer_direct[None, None, :]
     Rd = _diagonal_g(R)
     Td = _diagonal_g(T)
     RDd = _diagonal_g(RD)
@@ -555,7 +556,7 @@ def _step_migrations(cfg, nreg, cloud_frac, dz, tan_sza, R, T, RD, TDD,
         x_diffuse + xl_diff) / top_alb
 
     # region activity per reference (cloud_frac bounds)
-    frac = cloud_frac[None, :, None]
+    frac = cloud_frac[None, None, :]
     act_first = frac < 1.0
     act_cloudy = frac > 0.0
     reg_idx = jnp.arange(nreg)[:, None, None]
@@ -569,10 +570,10 @@ def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
                          edge_prev, inv_eff_lev, overlap_lev, rf_l,
                          rf_prev, not_top, dtype):
     """Explicit/Non-fractal entrapment contribution to the total albedo
-    (radiation_spartacus_sw.F90:1160-1330), g-minor layout.
+    (radiation_spartacus_sw.F90:1160-1330), g-first layout.
 
-    alb_below (nreg, nreg, ncol, ng); x_migration (nreg, ncol, ng);
-    vm/um (nreg, nreg, ncol, 1); edge_prev (ncol, 3); inv_eff_lev /
+    alb_below (nreg, nreg, ng, ncol); x_migration (nreg, ng, ncol);
+    vm/um (nreg, nreg, 1, ncol); edge_prev (ncol, 3); inv_eff_lev /
     overlap_lev (ncol,); rf_l/rf_prev (ncol, nreg)."""
     from .matrix import fast_expm_exchange_2_g, fast_expm_exchange_3_g
     entrap_total = 0.0
@@ -588,28 +589,28 @@ def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
         rates = []
         for jreg in range(nreg - 1):
             r_fwd = transfer_scaling * edge_prev[:, jreg] \
-                / jnp.maximum(um[jreg, jreg2, :, 0], 1e-5)
+                / jnp.maximum(um[jreg, jreg2, 0], 1e-5)
             r_bwd = transfer_scaling * edge_prev[:, jreg] \
-                / jnp.maximum(um[jreg + 1, jreg2, :, 0], 1e-5)
+                / jnp.maximum(um[jreg + 1, jreg2, 0], 1e-5)
             rates.append((r_fwd, r_bwd))
 
-        x2 = x_migration[jreg2]          # (ncol, ng)
+        x2 = x_migration[jreg2]          # (ng, ncol)
         if cfg.i_3d_sw_entrapment == Entrapment.EXPLICIT:
             fractal = 1.0 / jnp.sqrt(jnp.maximum(
-                1.0, 2.5 * x2 * inv_eff[:, None]))
+                1.0, 2.5 * x2 * inv_eff[None, :]))
         else:
             fractal = 1.0
-        a = rates[0][0][:, None] * x2 * fractal   # entrapment(2,1)
-        b = rates[0][1][:, None] * x2 * fractal   # entrapment(1,2)
+        a = rates[0][0][None, :] * x2 * fractal   # entrapment(2,1)
+        b = rates[0][1][None, :] * x2 * fractal   # entrapment(1,2)
         if nreg == 3:
-            c = rates[1][0][:, None] * x2 * fractal
-            d = rates[1][1][:, None] * x2 * fractal
+            c = rates[1][0][None, :] * x2 * fractal
+            d = rates[1][1][None, :] * x2 * fractal
             max_entr = jnp.maximum(a, b + c)
             scale = jnp.where(max_entr > cfg.max_cloud_od,
                               cfg.max_cloud_od
                               / jnp.maximum(max_entr, 1e-12), 1.0)
             a, b, c, d = a * scale, b * scale, c * scale, d * scale
-            Pg = fast_expm_exchange_3_g(a, b, c, d)  # (3, 3, ncol, ng)
+            Pg = fast_expm_exchange_3_g(a, b, c, d)  # (3, 3, ng, ncol)
         else:
             max_entr = jnp.maximum(a, b)
             scale = jnp.where(max_entr > cfg.max_cloud_od,
@@ -619,7 +620,7 @@ def _explicit_entrapment(cfg, nreg, alb_below, x_migration, vm, um,
             Pg = fast_expm_exchange_2_g(a, b)
 
         # albedo_part(j3, j) = P(j3, j) * v(jreg2, j) * alb(jreg2, jreg2)
-        albdiag = alb_below[jreg2, jreg2]          # (ncol, ng)
+        albdiag = alb_below[jreg2, jreg2]          # (ng, ncol)
         contrib = Pg * vm[jreg2][None] * albdiag[None, None]
         entrap_total = entrap_total + contrib
     return entrap_total
