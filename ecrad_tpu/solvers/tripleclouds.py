@@ -9,7 +9,7 @@ Reference parity:
     radiation_tripleclouds_lw.F90 (upward albedo/source accumulation
     with V/U region exchange at interfaces, then downward flux pass)
 
-State layout: region-leading (nreg, ncol, ng) — the big (ncol, ng)
+State layout: region-leading g-first (nreg, ng, ncol) — the big
 dims stay minor so TPU (8, 128) tiling pads nothing; an (ncol, nreg,
 ng) state would pad its (3, ng) minor axes ~3x and the region-exchange
 einsums would lower to convolutions. Level recurrences are
@@ -205,32 +205,33 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
     g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_r, g_r)
     ref, trans, ref_dir, tdd, tdir = ts.sw_reftrans(
         mu0_b, od_r, ssa_r, g1, g2, g3)   # (ncol, nlev, nreg, ng)
-    # region-leading g-minor layout for the level scans: per-level
-    # slices are (nreg, ncol, ng) with big minor dims — (ncol, nreg, ng)
-    # states would pad the (nreg=3, ng) minor axes to (8, 128), ~3x
-    # memory/bandwidth waste, and the region mixes lower to convolutions
+    # region-leading g-first layout for the level scans: per-level
+    # slices are (nreg, ng, ncol) — regions leading (trailing (3, ng)
+    # dims would pad to (8, 128), ~3x waste) and g in SUBLANES (ng in
+    # the lane dim pads 140->256, 1.8x HBM amplification per scan step;
+    # see solvers/adding.py _to_gfirst)
     def gmin(x):
-        return jnp.transpose(x, (1, 2, 0, 3))      # (nlev, nreg, ncol, ng)
+        return jnp.transpose(x, (1, 2, 3, 0))      # (nlev, nreg, ng, ncol)
 
     ref, trans, ref_dir, tdd, tdir = (gmin(x) for x in
                                       (ref, trans, ref_dir, tdd, tdir))
-    # overlap matrices per interface: (nlev+1, nreg, nreg, ncol, 1)
-    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None]
+    # overlap matrices per interface: (nlev+1, nreg, nreg, 1, ncol)
+    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None, :]
 
     def mix(vm_l, x):
-        """(nreg, nreg, ncol, 1) applied to (nreg, ncol, ng)."""
+        """(nreg, nreg, 1, ncol) applied to (nreg, ng, ncol)."""
         return (vm_l * x[None]).sum(axis=1)
 
     clear_lay = ~(cloud.fraction > 0.0)           # (ncol, nlev)
     # clear layers: region 1 only (others zeroed in the passes)
 
     # ---------------- upward pass: total albedo -------------------------
-    alb_surf = jnp.broadcast_to(albedo_diffuse[None],
-                                (nreg, ncol, ng))
+    alb_surf = jnp.broadcast_to(albedo_diffuse.T[None],
+                                (nreg, ng, ncol))
     albdir_surf = jnp.broadcast_to(
-        (mu0[:, None] * albedo_direct)[None], (nreg, ncol, ng))
+        (mu0[None, :] * albedo_direct.T)[None], (nreg, ng, ncol))
     # reference: surface albedo only in region 1 if bottom layer clear
-    bottom_cloudy = (~clear_lay[:, -1])[None, :, None]
+    bottom_cloudy = (~clear_lay[:, -1])[None, None, :]
     reg0 = (jnp.arange(nreg) == 0)[:, None, None]
     alb_surf = jnp.where(bottom_cloudy | reg0, alb_surf, 0.0)
     albdir_surf = jnp.where(bottom_cloudy | reg0, albdir_surf, 0.0)
@@ -239,7 +240,7 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
 
     def up_body(carry, lev):
-        alb, albdir = carry                        # (nreg, ncol, ng)
+        alb, albdir = carry                        # (nreg, ng, ncol)
         r = ref[lev]
         t = trans[lev]
         rd = ref_dir[lev]
@@ -248,13 +249,13 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
         inv = 1.0 / (1.0 - alb * r)
         alb_below = r + t * t * alb * inv
         albdir_below = rd + (tdir_l * albdir + td * alb) * t * inv
-        is_clear = clear_lay[:, lev][None, :, None]
+        is_clear = clear_lay[:, lev][None, None, :]
         alb_below = jnp.where(is_clear & (~reg0), 0.0, alb_below)
         albdir_below = jnp.where(is_clear & (~reg0), 0.0,
                                  albdir_below)
         # mix through V at this interface unless this & above layers clear
         both_clear = (clear_lay[:, lev]
-                      & clear_prev[:, lev])[None, :, None]
+                      & clear_prev[:, lev])[None, None, :]
         vm_t = jnp.swapaxes(vm_g[lev], 0, 1)
         alb_mixed = mix(vm_t, alb_below)
         albdir_mixed = mix(vm_t, albdir_below)
@@ -266,14 +267,13 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
     (alb_top, albdir_top), (alb_hist, albdir_hist) = jax.lax.scan(
         up_body, (alb_surf, albdir_surf), levels_rev)
     # alb_hist[k] = albedo at half-level below layer levels_rev[k];
-    # flip to (nlev, nreg, ncol, ng) indexed by layer
+    # flip to (nlev, nreg, ng, ncol) indexed by layer
     alb_below_layer = jnp.flip(alb_hist, 0)
     albdir_below_layer = jnp.flip(albdir_hist, 0)
 
     # ---------------- downward pass --------------------------------------
-    init_dir = (incoming_sw[None]
-                * jnp.moveaxis(reg_fracs[:, 0, :], 1, 0)[:, :, None])
-    flux_dn0 = jnp.zeros((nreg, ncol, ng), dtype)
+    init_dir = incoming_sw.T[None] * reg_fracs[:, 0, :].T[:, None, :]
+    flux_dn0 = jnp.zeros((nreg, ng, ncol), dtype)
     flux_up0 = init_dir * albdir_top
 
     def dn_body(carry, lev):
@@ -289,7 +289,7 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
         fdn_new = (t * flux_dn
                    + direct_dn * (tdir_l * albdir_b * r + td)) * inv
         ddn_new = tdir_l * direct_dn
-        is_clear = clear_lay[:, lev][None, :, None]
+        is_clear = clear_lay[:, lev][None, None, :]
         fdn_new = jnp.where(is_clear & (~reg0), 0.0, fdn_new)
         ddn_new = jnp.where(is_clear & (~reg0), 0.0, ddn_new)
         fup_new = ddn_new * albdir_b + fdn_new * alb_b
@@ -298,7 +298,7 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
                                clear_lay[:, jnp.minimum(lev + 1,
                                                         nlev - 1)],
                                True)
-        both_clear = (clear_lay[:, lev] & next_clear)[None, :, None]
+        both_clear = (clear_lay[:, lev] & next_clear)[None, None, :]
         vm_l = vm_g[lev + 1]
         fdn_mixed = mix(vm_l, fdn_new)
         ddn_mixed = mix(vm_l, ddn_new)
@@ -308,17 +308,12 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
 
     (_, _), (fup_hist, fdn_hist, ddn_hist) = jax.lax.scan(
         dn_body, (flux_dn0, init_dir), jnp.arange(nlev))
-    # assemble half-level fluxes summed over regions & g
-    up_prof = jnp.concatenate(
-        [flux_up0.sum(0)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(1), 0, 1)], axis=1)
-    dn_diff_prof = jnp.concatenate(
-        [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(1), 0, 1)], axis=1)
-    dn_dir_prof = jnp.concatenate(
-        [init_dir.sum(0)[:, None, :],
-         jnp.moveaxis(ddn_hist.sum(1), 0, 1)], axis=1) \
-        * mu0[:, None, None]
+    # assemble half-level fluxes: (nlev+1, ng, ncol) -> (ncol, nlev+1, ng)
+    prof = lambda top, hist: jnp.transpose(
+        jnp.concatenate([top[None], hist.sum(1)], axis=0), (2, 0, 1))
+    up_prof = prof(flux_up0.sum(0), fup_hist)
+    dn_diff_prof = prof(jnp.zeros((ng, ncol), dtype), fdn_hist)
+    dn_dir_prof = prof(init_dir.sum(0), ddn_hist) * mu0[:, None, None]
 
     total = SwFluxes(up=up_prof, dn_diffuse=dn_diff_prof,
                      dn_direct=dn_dir_prof)
@@ -406,21 +401,24 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
                 od_t, planck_top, planck_bot)
             rr = jnp.zeros_like(tt)
         refs.append(rr), transs.append(tt), sups.append(su), sdns.append(sd)
-    # region-leading g-minor layout (see the SW solver): per-level
-    # slices (nreg, ncol, ng) keep the big dims minor
-    ref = jnp.stack([jnp.moveaxis(x, 1, 0) for x in refs], axis=1)
-    trans = jnp.stack([jnp.moveaxis(x, 1, 0) for x in transs], axis=1)
-    sup = jnp.stack([jnp.moveaxis(x, 1, 0) for x in sups], axis=1)
-    sdn = jnp.stack([jnp.moveaxis(x, 1, 0) for x in sdns], axis=1)
-    # (nlev, nreg, ncol, ng)
-    sup_clear = jnp.moveaxis(sup[:, 0], 0, 1)
-    sdn_clear = jnp.moveaxis(sdn[:, 0], 0, 1)
-    trans_clear = jnp.moveaxis(trans[:, 0], 0, 1)
-    ref_clear = jnp.moveaxis(ref[:, 0], 0, 1)
+    # region-leading g-first layout (see the SW solver): per-level
+    # slices (nreg, ng, ncol)
+    gfx = lambda x: jnp.transpose(x, (1, 2, 0))
+    ref = jnp.stack([gfx(x) for x in refs], axis=1)
+    trans = jnp.stack([gfx(x) for x in transs], axis=1)
+    sup = jnp.stack([gfx(x) for x in sups], axis=1)
+    sdn = jnp.stack([gfx(x) for x in sdns], axis=1)
+    # clear-sky layer properties back to (ncol, nlev, ng) for adding
+    back = lambda x: jnp.transpose(x, (2, 0, 1))
+    sup_clear = back(sup[:, 0])
+    sdn_clear = back(sdn[:, 0])
+    trans_clear = back(trans[:, 0])
+    ref_clear = back(ref[:, 0])
 
     # scale sources by region fraction (cloudy layers)
-    fr = jnp.transpose(reg_fracs, (1, 2, 0))[..., None]  # (nlev,nreg,ncol,1)
-    not_clear = jnp.moveaxis(~clear_lay, 1, 0)[:, None, :, None]
+    # (nlev, nreg, 1, ncol)
+    fr = jnp.transpose(reg_fracs, (1, 2, 0))[:, :, None, :]
+    not_clear = jnp.moveaxis(~clear_lay, 1, 0)[:, None, None, :]
     sup = jnp.where(not_clear, fr * sup, sup)
     sdn = jnp.where(not_clear, fr * sdn, sdn)
     reg0 = (jnp.arange(nreg) == 0)[:, None, None]
@@ -429,21 +427,20 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
     sdn = jnp.where(not_clear | reg0[None], sdn, 0.0)
     ref = jnp.where(not_clear | reg0[None], ref, 0.0)
     trans = jnp.where(not_clear | reg0[None], trans, 0.0)
-    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None]
-    um_g = jnp.transpose(u_mat, (1, 2, 3, 0))[..., None]
+    vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None, :]
+    um_g = jnp.transpose(u_mat, (1, 2, 3, 0))[..., None, :]
 
     def mix(vm_l, x):
         return (vm_l * x[None]).sum(axis=1)
 
     # ---------------- upward pass -----------------------------------------
-    src_surf = jnp.moveaxis(reg_fracs[:, -1, :], 1, 0)[:, :, None] \
-        * emission[None]
-    alb_surf = jnp.broadcast_to(albedo[None], (nreg, ncol, ng))
+    src_surf = reg_fracs[:, -1, :].T[:, None, :] * emission.T[None]
+    alb_surf = jnp.broadcast_to(albedo.T[None], (nreg, ng, ncol))
     clear_prev = jnp.concatenate(
         [jnp.ones((ncol, 1), bool), clear_lay[:, :-1]], axis=1)
 
     def up_body(carry, lev):
-        alb, src = carry                           # (nreg, ncol, ng)
+        alb, src = carry                           # (nreg, ng, ncol)
         r = ref[lev]
         t = trans[lev]
         su = sup[lev]
@@ -451,11 +448,11 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         inv = 1.0 / (1.0 - alb * r)
         alb_below = r + t * t * alb * inv
         src_below = su + t * (src + alb * sd) * inv
-        is_clear = clear_lay[:, lev][None, :, None]
+        is_clear = clear_lay[:, lev][None, None, :]
         alb_below = jnp.where(is_clear & (~reg0), 0.0, alb_below)
         src_below = jnp.where(is_clear & (~reg0), 0.0, src_below)
         both_clear = (clear_lay[:, lev]
-                      & clear_prev[:, lev])[None, :, None]
+                      & clear_prev[:, lev])[None, None, :]
         alb_mixed = mix(jnp.swapaxes(vm_g[lev], 0, 1), alb_below)
         src_mixed = mix(um_g[lev], src_below)
         alb_new = jnp.where(both_clear, alb_below, alb_mixed)
@@ -465,11 +462,11 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
     levels_rev = jnp.arange(nlev - 1, -1, -1)
     (alb_top, src_top), (alb_hist, src_hist) = jax.lax.scan(
         up_body, (alb_surf, src_surf), levels_rev)
-    alb_below_layer = jnp.flip(alb_hist, 0)   # (nlev, nreg, ncol, ng)
+    alb_below_layer = jnp.flip(alb_hist, 0)   # (nlev, nreg, ng, ncol)
     src_below_layer = jnp.flip(src_hist, 0)
 
     # ---------------- downward pass ---------------------------------------
-    flux_dn0 = jnp.zeros((nreg, ncol, ng), dtype)
+    flux_dn0 = jnp.zeros((nreg, ng, ncol), dtype)
 
     def dn_body(carry, lev):
         flux_dn = carry
@@ -480,25 +477,23 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         src_b = src_below_layer[lev]
         inv = 1.0 / (1.0 - r * alb_b)
         fdn_new = (t * flux_dn + r * src_b + sd) * inv
-        is_clear = clear_lay[:, lev][None, :, None]
+        is_clear = clear_lay[:, lev][None, None, :]
         fdn_new = jnp.where(is_clear & (~reg0), 0.0, fdn_new)
         fup_new = src_b + fdn_new * alb_b
         next_clear = jnp.where(lev + 1 < nlev,
                                clear_lay[:, jnp.minimum(lev + 1,
                                                         nlev - 1)], True)
-        both_clear = (clear_lay[:, lev] & next_clear)[None, :, None]
+        both_clear = (clear_lay[:, lev] & next_clear)[None, None, :]
         fdn_mixed = mix(vm_g[lev + 1], fdn_new)
         fdn_out = jnp.where(both_clear, fdn_new, fdn_mixed)
         return fdn_out, (fup_new, fdn_out)
 
     _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, flux_dn0,
                                            jnp.arange(nlev))
-    up_prof = jnp.concatenate(
-        [src_top.sum(0)[:, None, :],
-         jnp.moveaxis(fup_hist.sum(1), 0, 1)], axis=1)
-    dn_prof = jnp.concatenate(
-        [jnp.zeros((ncol, 1, ng), dtype),
-         jnp.moveaxis(fdn_hist.sum(1), 0, 1)], axis=1)
+    prof = lambda top, hist: jnp.transpose(
+        jnp.concatenate([top[None], hist.sum(1)], axis=0), (2, 0, 1))
+    up_prof = prof(src_top.sum(0), fup_hist)
+    dn_prof = prof(jnp.zeros((ng, ncol), dtype), fdn_hist)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     extras = {}
@@ -507,7 +502,7 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         # spectral flux is the region sum of the lowest-interface up-flux
         from .lw_derivatives import lw_derivatives_region
         extras["lw_derivatives"] = lw_derivatives_region(
-            trans, um_g, up_prof[:, -1, :])
+            trans, um_g, up_prof[:, -1, :], gfirst=True)
 
     # ---------------- clear sky -------------------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes
