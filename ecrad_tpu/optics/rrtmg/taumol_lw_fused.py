@@ -375,20 +375,6 @@ def _chi_adjust(col, coldry, ref, thresh, base, expo):
     return jnp.where(rat > thresh, adjcol, col)
 
 
-def _pad_g_rows(block, g0, tile, total=140):
-    """Place an (ng, tile) block at g-row offset g0 within (total, tile),
-    zero elsewhere. Skips zero-size segments: Mosaic rejects 0-sized
-    vector operands in concatenate (band 1 has g0 == 0)."""
-    ng = block.shape[0]
-    parts = []
-    if g0 > 0:
-        parts.append(jnp.zeros((g0, tile), jnp.float32))
-    parts.append(block)
-    if total - g0 - ng > 0:
-        parts.append(jnp.zeros((total - g0 - ng, tile), jnp.float32))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-
-
 def _onehot_rows(nrows, idx_terms, tile):
     """sum_k onehot(idx_k) * w_k as an (nrows, tile) matrix.
 
@@ -528,10 +514,11 @@ def lw_fused_body(fc, ic, tabs, meta):
                 Bw = _onehot_rows(
                     9, [(jsx + dj, ws[k])
                         for k, dj in enumerate((-1, 0, 1, 2))], tile)
-                fam = jnp.zeros((ng, tile), jnp.float32)
-                for j in range(9):
-                    fam = fam + (M[off_t + j * ng:off_t + (j + 1) * ng]
-                                 * Bw[j:j + 1, :])
+                # one reduce over the eta axis instead of 9 (ng, tile)
+                # multiply-adds: the per-band VPU op count is what
+                # bounds this kernel
+                fam = (M[off_t:off_t + 9 * ng].reshape(9, ng, tile)
+                       * Bw[:, None, :]).sum(axis=0)
                 contrib = contrib + sc * fam
         else:
             w = tropf * noeta_w[b]
@@ -551,10 +538,8 @@ def lw_fused_body(fc, ic, tabs, meta):
                     (jsb1, fsb1, M_s1, stratf * sc1)):
                 Bw = _onehot_rows(5, [(jsx, 1.0 - fsx),
                                       (jsx + 1, fsx)], tile)
-                fam = jnp.zeros((ng, tile), jnp.float32)
-                for j in range(5):
-                    fam = fam + (M[off_s + j * ng:off_s + (j + 1) * ng]
-                                 * Bw[j:j + 1, :])
+                fam = (M[off_s:off_s + 5 * ng].reshape(5, ng, tile)
+                       * Bw[:, None, :]).sum(axis=0)
                 contrib = contrib + sc * fam
         elif b in NOETA_STRAT:
             off_s = meta["strat_off"][b]
@@ -563,21 +548,8 @@ def lw_fused_body(fc, ic, tabs, meta):
                                      + M_s1[off_s:off_s + ng])
         pieces.append(contrib)
 
-    tau = jnp.concatenate(pieces, axis=0)          # (140, tile)
-
-    # self + foreign, with band-2 per-cell corrections on its rows
-    o2, n2 = G_OFF[1], G_OFF[2]
-    sf_scale = jnp.concatenate([
-        jnp.broadcast_to(1.0, (o2, tile)),
-        jnp.broadcast_to(corradj2, (n2 - o2, tile)),
-        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
-    for_scale = jnp.concatenate([
-        jnp.broadcast_to(1.0, (o2, tile)),
-        jnp.broadcast_to(wa2, (n2 - o2, tile)),
-        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
-    tau = tau + self_c * sf_scale + for_c * for_scale
-
-    # minor gases (no eta): per instance, scale and place
+    # minor gases (no eta): accumulate into the band pieces BEFORE the
+    # concat — full-height zero-padded adds cost 20 (140, tile) passes
     minor_scale_list = [
         tropf * scalen2, stratf * scalen2,           # b1 kao/kbo mn2
         tropf * adjco2_b6,                           # b6 kao
@@ -589,12 +561,9 @@ def lw_fused_body(fc, ic, tabs, meta):
         tropf * scaleo2, stratf * scaleo2,           # b11 o2
         stratf * colo3,                              # b13 kbo o3
     ]
-    minor_add = jnp.zeros((140, tile), jnp.float32)
-    for (b, off, ng), scale in zip(meta["minor_off"], minor_scale_list):
-        g0 = G_OFF[b - 1]
-        block = scale * M_minor[off:off + ng]
-        minor_add = minor_add + _pad_g_rows(block, g0, tile)
-    tau = tau + minor_add
+    for (b, off, ngm), scale in zip(meta["minor_off"],
+                                    minor_scale_list):
+        pieces[b - 1] = pieces[b - 1] + scale * M_minor[off:off + ngm]
 
     # minor gases with eta: contract the r1 (eta) axis per instance
     minor_eta_args = {
@@ -609,21 +578,30 @@ def lw_fused_body(fc, ic, tabs, meta):
                   tropf * scalen2_15),
     }
     seen = {}
-    meta_add = jnp.zeros((140, tile), jnp.float32)
-    for (b, off, r1, ng) in meta["minor_eta_off"]:
+    for (b, off, r1, ngm) in meta["minor_eta_off"]:
         k = (b, seen.get(b, 0))
         seen[b] = seen.get(b, 0) + 1
         col1, refm, col2, mult, scale = minor_eta_args[k]
         _, jm, fm = _eta_index(col1 / (col1 + refm * col2), mult)
         Bw = _onehot_rows(r1, [(jm, scale * (1.0 - fm)),
                                (jm + 1, scale * fm)], tile)
-        block = jnp.zeros((ng, tile), jnp.float32)
-        for j in range(r1):
-            block = block + (M_meta[off + j * ng:off + (j + 1) * ng]
-                             * Bw[j:j + 1, :])
-        g0 = G_OFF[b - 1]
-        meta_add = meta_add + _pad_g_rows(block, g0, tile)
-    tau = tau + meta_add
+        block = (M_meta[off:off + r1 * ngm].reshape(r1, ngm, tile)
+                 * Bw[:, None, :]).sum(axis=0)
+        pieces[b - 1] = pieces[b - 1] + block
+
+    tau = jnp.concatenate(pieces, axis=0)          # (140, tile)
+
+    # self + foreign, with band-2 per-cell corrections on its rows
+    o2, n2 = G_OFF[1], G_OFF[2]
+    sf_scale = jnp.concatenate([
+        jnp.broadcast_to(1.0, (o2, tile)),
+        jnp.broadcast_to(corradj2, (n2 - o2, tile)),
+        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
+    for_scale = jnp.concatenate([
+        jnp.broadcast_to(1.0, (o2, tile)),
+        jnp.broadcast_to(wa2, (n2 - o2, tile)),
+        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
+    tau = tau + self_c * sf_scale + for_c * for_scale
 
     # constant cross-sections: ccl4, cfc11, cfc12, cfc22 ((140, 4) cols)
     cv = tabs["const_vecs"]

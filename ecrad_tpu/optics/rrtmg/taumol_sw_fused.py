@@ -267,10 +267,10 @@ def sw_fused_body(fc, ic, tabs, meta):
             sc = col1 + meta["strrat"][b] * col2
             _, js, fs = _eta_index(col1 / sc, 8.0)
             Bw = _onehot_rows(9, [(js, 1.0 - fs), (js + 1, fs)], tile)
-            fam = jnp.zeros((ng, tile), jnp.float32)
-            for j in range(9):
-                fam = fam + (M_t[off_t + j * ng:off_t + (j + 1) * ng]
-                             * Bw[j:j + 1, :])
+            # one reduce over the eta axis (VPU op count bounds this
+            # kernel; see taumol_lw_fused)
+            fam = (M_t[off_t:off_t + 9 * ng].reshape(9, ng, tile)
+                   * Bw[:, None, :]).sum(axis=0)
             contrib = (tropf * sc) * fam
         else:
             contrib = (tropf * noeta_w[b]) * M_t[off_t:off_t + ng]
@@ -280,10 +280,8 @@ def sw_fused_body(fc, ic, tabs, meta):
             sc = col1 + meta["strrat"][b] * col2
             _, js, fs = _eta_index(col1 / sc, 4.0)
             Bw = _onehot_rows(5, [(js, 1.0 - fs), (js + 1, fs)], tile)
-            fam = jnp.zeros((ng, tile), jnp.float32)
-            for j in range(5):
-                fam = fam + (M_s[off_s + j * ng:off_s + (j + 1) * ng]
-                             * Bw[j:j + 1, :])
+            fam = (M_s[off_s:off_s + 5 * ng].reshape(5, ng, tile)
+                   * Bw[:, None, :]).sum(axis=0)
             contrib = contrib + (stratf * sc) * fam
         elif b in NOETA_STRAT:
             off_s = meta["strat_off"][b]
