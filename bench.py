@@ -4,9 +4,10 @@
 Runs on whatever jax.devices() provides (the real TPU chip under axon).
 Prints one JSON line per benched solver; the LAST line is the headline
 (McICA, the IFS operational configuration). `vs_baseline` compares
-against the recorded round-1 numbers in BASELINE.json
-("measured_r1_cols_per_sec_chip"), so a regression shows up as
-vs_baseline < 1 in the driver-captured artifact.
+against the LATEST recorded round in BASELINE.json
+("measured_r<N>_cols_per_sec_chip", highest N), so a regression vs the
+previous round shows up as vs_baseline < 1 in the driver-captured
+artifact.
 
 Environment:
   ECRAD_BENCH_SOLVER   Cloudless|Homogeneous|McICA|Tripleclouds|
@@ -102,8 +103,12 @@ def main():
     try:
         with open(os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "BASELINE.json")) as f:
-            baselines = json.load(f).get(
-                "measured_r1_cols_per_sec_chip", {})
+            rec = json.load(f)
+        # ratchet: compare against the most recent recorded round
+        keys = sorted(k for k in rec
+                      if k.startswith("measured_r")
+                      and k.endswith("_cols_per_sec_chip"))
+        baselines = rec.get(keys[-1], {}) if keys else {}
         baselines = {k: float(v) for k, v in baselines.items()
                      if isinstance(v, (int, float))}
     except Exception:
