@@ -12,7 +12,7 @@ fluxes — the entry point a large-scale model embeds.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +134,97 @@ def uv_par_fluxes(flux):
     else:
         flux_par_clear = jnp.zeros_like(flux_par)
     return flux_uv, flux_par, flux_par_clear
+
+
+class HostOutputs(NamedTuple):
+    """The diagnostics RADIATION_SCHEME hands back to the host model
+    (ifs/radiation_scheme.F90:445-512), in IFS naming."""
+    flux_sw: jnp.ndarray            # net SW profile (ncol, nlev+1)
+    flux_lw: jnp.ndarray            # net LW profile
+    flux_sw_clear: jnp.ndarray
+    flux_lw_clear: jnp.ndarray
+    flux_sw_dn: jnp.ndarray         # surface downwelling (ncol,)
+    flux_lw_dn: jnp.ndarray
+    flux_sw_dn_clear: jnp.ndarray
+    flux_lw_dn_clear: jnp.ndarray
+    flux_dir: jnp.ndarray           # surface direct SW
+    flux_dir_clear: jnp.ndarray
+    flux_dir_into_sun: jnp.ndarray  # direct normal irradiance
+    flux_sw_dn_toa: jnp.ndarray
+    flux_uv: jnp.ndarray
+    flux_par: jnp.ndarray
+    flux_par_clear: jnp.ndarray
+    emis_out: jnp.ndarray           # effective broadband emissivity
+    lw_derivative: Optional[jnp.ndarray]
+    sw_diffuse_band: Optional[jnp.ndarray]  # (ncol, n_albedo_bands)
+    sw_direct_band: Optional[jnp.ndarray]
+
+
+SIGMA_SB = 5.670374419e-8
+
+
+def unpack_host_outputs(setup: RadiationSetup, flux, *, cos_sza,
+                        skin_temperature, lw_emissivity) -> HostOutputs:
+    """Everything RADIATION_SCHEME computes after calling radiation()
+    (ifs/radiation_scheme.F90:445-512): net-flux profiles, surface and
+    TOA scalars, direct-normal irradiance, UV/PAR band sums, effective
+    broadband emissivity, the Hogan-Bozzo LW derivative copy, and the
+    per-albedo-band diffuse/direct surface SW fluxes used by the
+    approximate SW update (LAPPROXSWUPDATE)."""
+    net_sw = flux.sw_dn - flux.sw_up
+    net_lw = flux.lw_dn - flux.lw_up
+    net_sw_clear = flux.sw_dn_clear - flux.sw_up_clear
+    net_lw_clear = flux.lw_dn_clear - flux.lw_up_clear
+
+    sw_dn_surf = flux.sw_dn[:, -1]
+    lw_dn_surf = flux.lw_dn[:, -1]
+    fdir = flux.sw_dn_direct[:, -1]
+    fdir_clear = (flux.sw_dn_direct_clear[:, -1]
+                  if flux.sw_dn_direct_clear is not None
+                  else jnp.zeros_like(fdir))
+    mu0 = jnp.asarray(cos_sza)
+    dir_into_sun = jnp.where(mu0 > 1e-10, fdir / jnp.maximum(mu0, 1e-10),
+                             0.0)
+
+    flux_uv, flux_par, flux_par_clear = uv_par_fluxes(flux)
+
+    # effective broadband emissivity (ifs/radiation_scheme.F90:487-492)
+    emissivity = (lw_emissivity if lw_emissivity.ndim == 1
+                  else lw_emissivity[:, 0])
+    black_net = lw_dn_surf - SIGMA_SB * skin_temperature ** 4
+    emis_out = jnp.where(jnp.abs(black_net) > 1e-5,
+                         net_lw[:, -1] / black_net, emissivity)
+
+    sw_diffuse_band = sw_direct_band = None
+    if (flux.sw_dn_surf_band is not None
+            and flux.sw_dn_direct_surf_band is not None):
+        if setup.sw_albedo_map is not None:
+            alb_from_band = np.asarray(setup.sw_albedo_map)
+        else:
+            # weights form: assign each band to its dominant interval
+            alb_from_band = np.argmax(
+                np.asarray(setup.sw_albedo_weights), axis=0)
+        n_alb = int(alb_from_band.max()) + 1
+        onehot = jnp.asarray(
+            alb_from_band[:, None] == np.arange(n_alb)[None, :],
+            flux.sw_dn_surf_band.dtype)          # (n_bands, n_alb)
+        diffuse = flux.sw_dn_surf_band - flux.sw_dn_direct_surf_band
+        sw_diffuse_band = diffuse @ onehot
+        sw_direct_band = flux.sw_dn_direct_surf_band @ onehot
+
+    return HostOutputs(
+        flux_sw=net_sw, flux_lw=net_lw, flux_sw_clear=net_sw_clear,
+        flux_lw_clear=net_lw_clear, flux_sw_dn=sw_dn_surf,
+        flux_lw_dn=lw_dn_surf,
+        flux_sw_dn_clear=flux.sw_dn_clear[:, -1],
+        flux_lw_dn_clear=flux.lw_dn_clear[:, -1],
+        flux_dir=fdir, flux_dir_clear=fdir_clear,
+        flux_dir_into_sun=dir_into_sun,
+        flux_sw_dn_toa=flux.sw_dn[:, 0],
+        flux_uv=flux_uv, flux_par=flux_par,
+        flux_par_clear=flux_par_clear, emis_out=emis_out,
+        lw_derivative=flux.lw_derivatives,
+        sw_diffuse_band=sw_diffuse_band, sw_direct_band=sw_direct_band)
 
 
 def radiation_scheme(setup: RadiationSetup, *, pressure_hl,

@@ -174,3 +174,80 @@ def test_radiation_scheme_and_uv_par():
     assert (par[day] < total_sw[day]).all()
     # clear-sky PAR >= all-sky PAR under cloud
     assert (par_clear[day] >= par[day] - 1e-3).all()
+
+
+@needs_ref
+def test_unpack_host_outputs():
+    """The post-radiation() unpack of ifs/radiation_scheme.F90:445-512:
+    net fluxes, surface/TOA scalars, direct-normal irradiance, effective
+    emissivity, and the per-albedo-band SW fluxes (LAPPROXSWUPDATE)."""
+    from ecrad_tpu.config import RadiationConfig, Solver
+    from ecrad_tpu.coupling import radiation_scheme, unpack_host_outputs
+    from ecrad_tpu.interface import setup_radiation
+    from ecrad_tpu.io.netcdf import NetcdfFile
+    with NetcdfFile(IFS_IN) as f:
+        p_hl = f.read("pressure_hl")[:8]
+        t_hl = f.read("temperature_hl")[:8]
+        q = f.read("q")[:8]
+        o3 = f.read("o3_mmr")[:8]
+        ql = f.read("q_liquid")[:8]
+        qi = f.read("q_ice")[:8]
+        cf = f.read("cloud_fraction")[:8]
+        cos_sza = f.read("cos_solar_zenith_angle")[:8]
+        tskin = f.read("skin_temperature")[:8]
+        alb = f.read("sw_albedo")[:8]
+        emis = f.read("lw_emissivity")[:8]
+    cfg = RadiationConfig(i_solver_sw=Solver.TRIPLECLOUDS,
+                          i_solver_lw=Solver.TRIPLECLOUDS,
+                          use_aerosols=False,
+                          do_surface_sw_spectral_flux=True,
+                          do_lw_derivatives=True,
+                          directory_name="/root/reference/data")
+    setup = setup_radiation(cfg)
+    j = lambda x: jnp.asarray(x, jnp.float32)
+    alb1 = j(alb.mean(-1) if alb.ndim == 2 else alb)
+    emis1 = j(emis.mean(-1) if emis.ndim == 2 else emis)
+    flux = radiation_scheme(
+        setup, pressure_hl=j(p_hl), temperature_hl=j(t_hl),
+        cos_sza=j(cos_sza), skin_temperature=j(tskin),
+        sw_albedo=alb1, lw_emissivity=emis1, q=j(q),
+        q_liq=j(ql), q_ice=j(qi), cloud_frac=j(cf),
+        sin_latitude=j(np.linspace(-1, 1, 8)),
+        land_frac=j(np.zeros(8)), o3_mmr=j(o3))
+    out = unpack_host_outputs(setup, flux, cos_sza=j(cos_sza),
+                              skin_temperature=j(tskin),
+                              lw_emissivity=emis1)
+
+    # net fluxes are exactly dn - up
+    np.testing.assert_allclose(
+        np.asarray(out.flux_sw),
+        np.asarray(flux.sw_dn) - np.asarray(flux.sw_up), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_lw_clear),
+        np.asarray(flux.lw_dn_clear) - np.asarray(flux.lw_up_clear),
+        rtol=1e-6)
+    # direct-normal irradiance: mu0 * DNI == surface direct flux
+    day = cos_sza > 0.05
+    np.testing.assert_allclose(
+        (np.asarray(out.flux_dir_into_sun) * cos_sza)[day],
+        np.asarray(out.flux_dir)[day], rtol=1e-5)
+    # DNI cannot exceed the solar irradiance
+    assert (np.asarray(out.flux_dir_into_sun) <= 1361.0 + 1.0).all()
+    # TOA downwelling = mu0 * S0 on daytime columns
+    np.testing.assert_allclose(
+        np.asarray(out.flux_sw_dn_toa)[day], (1361.0 * cos_sza)[day],
+        rtol=1e-3)
+    # effective emissivity: physical and equal to the prescribed value
+    # when computed back through the net-LW identity
+    eo = np.asarray(out.emis_out)
+    assert np.isfinite(eo).all() and (eo > 0.3).all() and (eo < 1.2).all()
+    # albedo-band split: diffuse + direct sums to the total surface SW
+    assert out.sw_diffuse_band is not None
+    tot = (np.asarray(out.sw_diffuse_band)
+           + np.asarray(out.sw_direct_band)).sum(-1)
+    np.testing.assert_allclose(tot, np.asarray(flux.sw_dn)[:, -1],
+                               rtol=1e-4, atol=1e-4)
+    # Hogan-Bozzo LW derivative present, surface value 1
+    assert out.lw_derivative is not None
+    np.testing.assert_allclose(np.asarray(out.lw_derivative)[:, -1], 1.0,
+                               rtol=1e-6)
