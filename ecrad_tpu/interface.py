@@ -143,6 +143,25 @@ def _indexed_band_sum(flux_g, band_from_g, nbands):
     return jnp.einsum("...g,bg->...b", flux_g, onehot)
 
 
+def _gsum(x):
+    """Broadband sum of a g-first flux profile:
+    (nlev+1, ng, ncol) -> (ncol, nlev+1), or (ng, ncol) -> (ncol,)."""
+    return x.sum(-2).T
+
+
+def _surf_g(x):
+    """Surface slice of a g-first flux profile:
+    (nlev+1, ng, ncol) -> (ncol, ng)."""
+    return x[-1].T
+
+
+def _band_sum_gfirst(x, band_from_g, nbands):
+    """g-first profile (nlev+1, ng, ncol) -> (ncol, nlev+1, nbands)."""
+    onehot = jnp.asarray(
+        np.eye(nbands, dtype=np.float32)[:, band_from_g])  # (nb, ng)
+    return jnp.einsum("lgc,bg->clb", x, onehot)
+
+
 def _canopy_sum(flux_g, band_from_g, imap, weights):
     """Per-g surface flux -> canopy spectral intervals
     (radiation_flux.F90:377-450): nearest-interval indexed sum, or
@@ -350,30 +369,31 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
                 # (radiation_cloudless_lw.F90:166-171)
                 from .solvers.lw_derivatives import lw_derivatives_ica
                 flux = flux.replace(lw_derivatives=lw_derivatives_ica(
-                    t_clear, lw.up[:, -1, :]))
+                    t_clear, lw.up[-1].T, gfirst=True))
         else:
             from .solvers.dispatch import solve_lw
             lw, lw_clear, extras_lw = solve_lw(
                 setup, single_level, thermodynamics, cloud, cloud_props,
                 od_lw, ssa_lw, g_lw, go.planck_hl, go.lw_emission,
                 lw_albedo)
+        lw_dn_surf_g = _surf_g(lw.dn)
         flux = flux.replace(
-            lw_up=lw.up.sum(-1), lw_dn=lw.dn.sum(-1),
-            lw_dn_surf_g=lw.dn[:, -1, :],
+            lw_up=_gsum(lw.up), lw_dn=_gsum(lw.dn),
+            lw_dn_surf_g=lw_dn_surf_g,
             lw_dn_surf_band=_indexed_band_sum(
-                lw.dn[:, -1, :], setup.spec.band_from_reordered_g_lw, 16),
+                lw_dn_surf_g, setup.spec.band_from_reordered_g_lw, 16),
         )
         if cfg.do_clear:
             flux = flux.replace(
-                lw_up_clear=lw_clear.up.sum(-1),
-                lw_dn_clear=lw_clear.dn.sum(-1),
+                lw_up_clear=_gsum(lw_clear.up),
+                lw_dn_clear=_gsum(lw_clear.dn),
                 lw_dn_surf_clear_band=_indexed_band_sum(
-                    lw_clear.dn[:, -1, :],
+                    _surf_g(lw_clear.dn),
                     setup.spec.band_from_reordered_g_lw, 16))
         if cfg.i_solver_lw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_lw)
         if cfg.do_canopy_fluxes_lw:
-            lw_dn_surf_g = lw.dn[:, -1, :]
+            lw_dn_surf_g = _surf_g(lw.dn)
             if cfg.use_canopy_full_spectrum_lw:
                 canopy = lw_dn_surf_g
             else:
@@ -391,13 +411,13 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
                 spec_map = setup.spec.band_from_reordered_g_lw
                 nspec = 16 if len(spec_map) > 1 else 1
             flux = flux.replace(
-                lw_up_band=_indexed_band_sum(lw.up, spec_map, nspec),
-                lw_dn_band=_indexed_band_sum(lw.dn, spec_map, nspec))
+                lw_up_band=_band_sum_gfirst(lw.up, spec_map, nspec),
+                lw_dn_band=_band_sum_gfirst(lw.dn, spec_map, nspec))
             if cfg.do_clear:
                 flux = flux.replace(
-                    lw_up_band_clear=_indexed_band_sum(
+                    lw_up_band_clear=_band_sum_gfirst(
                         lw_clear.up, spec_map, nspec),
-                    lw_dn_band_clear=_indexed_band_sum(
+                    lw_dn_band_clear=_band_sum_gfirst(
                         lw_clear.dn, spec_map, nspec))
 
     if cfg.do_sw:
@@ -414,48 +434,49 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
                 sw_alb_dir)
         band_g = setup.spec.band_from_reordered_g_sw
         flux = flux.replace(
-            sw_up=sw.up.sum(-1),
-            sw_dn=(sw.dn_diffuse + sw.dn_direct).sum(-1),
-            sw_dn_diffuse_surf_g=sw.dn_diffuse[:, -1, :],
-            sw_dn_direct_surf_g=sw.dn_direct[:, -1, :],
+            sw_up=_gsum(sw.up),
+            sw_dn=_gsum(sw.dn_diffuse + sw.dn_direct),
+            sw_dn_diffuse_surf_g=_surf_g(sw.dn_diffuse),
+            sw_dn_direct_surf_g=_surf_g(sw.dn_direct),
         )
         if cfg.do_sw_direct:
-            flux = flux.replace(sw_dn_direct=sw.dn_direct.sum(-1))
+            flux = flux.replace(sw_dn_direct=_gsum(sw.dn_direct))
         if cfg.do_clear:
             flux = flux.replace(
-                sw_up_clear=sw_clear.up.sum(-1),
-                sw_dn_clear=(sw_clear.dn_diffuse
-                             + sw_clear.dn_direct).sum(-1))
+                sw_up_clear=_gsum(sw_clear.up),
+                sw_dn_clear=_gsum(sw_clear.dn_diffuse
+                                  + sw_clear.dn_direct))
             if cfg.do_sw_direct:
                 flux = flux.replace(
-                    sw_dn_direct_clear=sw_clear.dn_direct.sum(-1))
+                    sw_dn_direct_clear=_gsum(sw_clear.dn_direct))
         if cfg.do_surface_sw_spectral_flux:
             flux = flux.replace(
                 sw_dn_surf_band=_indexed_band_sum(
-                    (sw.dn_diffuse + sw.dn_direct)[:, -1, :], band_g, 14),
+                    _surf_g(sw.dn_diffuse) + _surf_g(sw.dn_direct),
+                    band_g, 14),
                 sw_dn_direct_surf_band=_indexed_band_sum(
-                    sw.dn_direct[:, -1, :], band_g, 14),
+                    _surf_g(sw.dn_direct), band_g, 14),
             )
             if cfg.do_clear:
                 flux = flux.replace(
                     sw_dn_surf_clear_band=_indexed_band_sum(
-                        (sw_clear.dn_diffuse
-                         + sw_clear.dn_direct)[:, -1, :], band_g, 14),
+                        _surf_g(sw_clear.dn_diffuse)
+                        + _surf_g(sw_clear.dn_direct), band_g, 14),
                     sw_dn_direct_surf_clear_band=_indexed_band_sum(
-                        sw_clear.dn_direct[:, -1, :], band_g, 14),
+                        _surf_g(sw_clear.dn_direct), band_g, 14),
                 )
         if cfg.i_solver_sw != Solver.CLOUDLESS:
             flux = flux.replace(**extras_sw)
         if cfg.do_canopy_fluxes_sw:
             if cfg.use_canopy_full_spectrum_sw:
-                dif_canopy = sw.dn_diffuse[:, -1, :]
-                dir_canopy = sw.dn_direct[:, -1, :]
+                dif_canopy = _surf_g(sw.dn_diffuse)
+                dir_canopy = _surf_g(sw.dn_direct)
             else:
                 dif_canopy = _canopy_sum(
-                    sw.dn_diffuse[:, -1, :], band_g,
+                    _surf_g(sw.dn_diffuse), band_g,
                     setup.sw_albedo_map, setup.sw_albedo_weights)
                 dir_canopy = _canopy_sum(
-                    sw.dn_direct[:, -1, :], band_g,
+                    _surf_g(sw.dn_direct), band_g,
                     setup.sw_albedo_map, setup.sw_albedo_weights)
             flux = flux.replace(sw_dn_diffuse_surf_canopy=dif_canopy,
                                 sw_dn_direct_surf_canopy=dir_canopy)
@@ -467,19 +488,19 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
                 spec_map = setup.spec.band_from_reordered_g_sw
                 nspec = 14 if len(spec_map) > 1 else 1
             flux = flux.replace(
-                sw_up_band=_indexed_band_sum(sw.up, spec_map, nspec),
-                sw_dn_band=_indexed_band_sum(
+                sw_up_band=_band_sum_gfirst(sw.up, spec_map, nspec),
+                sw_dn_band=_band_sum_gfirst(
                     sw.dn_diffuse + sw.dn_direct, spec_map, nspec),
-                sw_dn_direct_band=_indexed_band_sum(
+                sw_dn_direct_band=_band_sum_gfirst(
                     sw.dn_direct, spec_map, nspec))
             if cfg.do_clear:
                 flux = flux.replace(
-                    sw_up_band_clear=_indexed_band_sum(
+                    sw_up_band_clear=_band_sum_gfirst(
                         sw_clear.up, spec_map, nspec),
-                    sw_dn_band_clear=_indexed_band_sum(
+                    sw_dn_band_clear=_band_sum_gfirst(
                         sw_clear.dn_diffuse + sw_clear.dn_direct,
                         spec_map, nspec),
-                    sw_dn_direct_band_clear=_indexed_band_sum(
+                    sw_dn_direct_band_clear=_band_sum_gfirst(
                         sw_clear.dn_direct, spec_map, nspec))
 
     return flux

@@ -94,17 +94,24 @@ def _moebius_scan_albedo(ref, trans, albedo_surf, axis):
 # ---------------------------------------------------------------------------
 
 def adding_lw(reflectance, transmittance, source_up, source_dn,
-              emission_surf, albedo_surf, method="sequential"):
+              emission_surf, albedo_surf, method="sequential",
+              gfirst=False):
     """Full LW adding with scattering.
 
     reflectance/transmittance/source_up/source_dn: (..., nlev, ng),
     emission_surf/albedo_surf: (..., ng).
     Returns (flux_up, flux_dn), each (..., nlev+1, ng).
+
+    gfirst=True: layer inputs are ALREADY (nlev, ng, ncol) and boundary
+    inputs (ng, ncol); fluxes return as (nlev+1, ng, ncol) — no layout
+    conversion at all (the g-first internal form, see _to_gfirst).
     """
     axis = -2
     if method == "sequential":
         return _adding_lw_sequential(reflectance, transmittance, source_up,
-                                     source_dn, emission_surf, albedo_surf)
+                                     source_dn, emission_surf, albedo_surf,
+                                     gfirst=gfirst)
+    assert not gfirst, "gfirst supports the sequential method only"
     # 1) albedo of the atmosphere below each half-level
     albedo = _moebius_scan_albedo(reflectance, transmittance, albedo_surf,
                                   axis)
@@ -143,7 +150,7 @@ def _gvec(x):
 
 
 def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
-                          albedo_surf):
+                          albedo_surf, gfirst=False):
     def up_body(carry, x):
         albedo_below, source_below = carry
         r, t, su, sd = x
@@ -152,9 +159,13 @@ def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
         source = su + t * (source_below + albedo_below * sd) * inv_denom
         return (albedo, source), (albedo, source, inv_denom)
 
-    xs = tuple(_to_gfirst(v) for v in (ref, trans, src_up, src_dn))
-    alb_surf_g = _gvec(albedo_surf)
-    emis_g = _gvec(emission_surf)
+    if gfirst:
+        xs = (ref, trans, src_up, src_dn)
+        alb_surf_g, emis_g = albedo_surf, emission_surf
+    else:
+        xs = tuple(_to_gfirst(v) for v in (ref, trans, src_up, src_dn))
+        alb_surf_g = _gvec(albedo_surf)
+        emis_g = _gvec(emission_surf)
     # reverse=True sweeps surface->TOA over TOA-first xs; ys[i] is the
     # albedo/source below half-level i directly — no flip copies
     (_, _), (alb_t, src_t, inv_denom) = jax.lax.scan(
@@ -172,14 +183,19 @@ def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
     _, fd_rest = jax.lax.scan(dn_body, zero, xs2)
     flux_dn = jnp.concatenate([zero[None], fd_rest], axis=0)
     flux_up = albedo * flux_dn + source
+    if gfirst:
+        return flux_up, flux_dn
     return _from_gfirst(flux_up), _from_gfirst(flux_dn)
 
 
-def _affine_seq(a, b, x0, reverse=False):
+def _affine_seq(a, b, x0, reverse=False, gfirst=False):
     """Sequential counterpart of _affine_scan (lax.scan over levels)."""
-    a_s = _to_gfirst(a)
-    b_s = _to_gfirst(b)
-    x0_g = _gvec(x0)
+    if gfirst:
+        a_s, b_s, x0_g = a, b, x0
+    else:
+        a_s = _to_gfirst(a)
+        b_s = _to_gfirst(b)
+        x0_g = _gvec(x0)
 
     def body(x, ab):
         ak, bk = ab
@@ -192,24 +208,29 @@ def _affine_seq(a, b, x0, reverse=False):
         x = jnp.concatenate([xs, x0_g[None]], axis=0)
     else:
         x = jnp.concatenate([x0_g[None], xs], axis=0)
-    return _from_gfirst(x)
+    return x if gfirst else _from_gfirst(x)
 
 
 def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
                             emission_surf, albedo_surf,
-                            method="sequential"):
+                            method="sequential", gfirst=False):
     """No-scattering LW fluxes: down then up
-    (radiation_adding_ica_lw.F90:272-324)."""
+    (radiation_adding_ica_lw.F90:272-324). gfirst as in adding_lw."""
     axis = -2
-    affine = _affine_seq if method == "sequential" else (
-        lambda a, b, x0, reverse=False: _affine_scan(a, b, x0, axis,
-                                                     reverse=reverse))
+    if method == "sequential":
+        affine = lambda a, b, x0, reverse=False: _affine_seq(
+            a, b, x0, reverse=reverse, gfirst=gfirst)
+    else:
+        assert not gfirst, "gfirst supports the sequential method only"
+        affine = lambda a, b, x0, reverse=False: _affine_scan(
+            a, b, x0, axis, reverse=reverse)
     zero = jnp.zeros_like(emission_surf)
     # down: fd_{j+1} = T_j fd_j + Sd_j
     flux_dn = affine(transmittance, source_dn, zero)
     # up from surface: fu_surf = emission + albedo*fd_surf;
     # fu_j = T_j fu_{j+1} + Su_j
-    fu_surf = emission_surf + albedo_surf * flux_dn[..., -1, :]
+    fd_surf = flux_dn[-1] if gfirst else flux_dn[..., -1, :]
+    fu_surf = emission_surf + albedo_surf * fd_surf
     flux_up = affine(transmittance, source_up, fu_surf, reverse=True)
     return flux_up, flux_dn
 
@@ -220,7 +241,8 @@ def lw_no_scattering_fluxes(transmittance, source_up, source_dn,
 
 def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
               trans_dir_dir, incoming_toa, albedo_surf_diffuse,
-              albedo_surf_direct, cos_sza, method="sequential"):
+              albedo_surf_direct, cos_sza, method="sequential",
+              gfirst=False):
     """SW adding. All layer quantities (..., nlev, ng); incoming_toa and
     albedos (..., ng); cos_sza (...,) per-column.
 
@@ -236,7 +258,8 @@ def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
         return _adding_sw_sequential(
             reflectance, transmittance, ref_dir, trans_dir_diff,
             trans_dir_dir, incoming_toa, albedo_surf_diffuse,
-            albedo_surf_direct, cs)
+            albedo_surf_direct, cs, gfirst=gfirst)
+    assert not gfirst, "gfirst supports the sequential method only"
     # 1) direct beam descent: fdir_{j+1} = t_dir_j fdir_j
     flux_dn_direct = _affine_scan(trans_dir_dir,
                                   jnp.zeros_like(trans_dir_dir),
@@ -266,27 +289,33 @@ def adding_sw(reflectance, transmittance, ref_dir, trans_dir_diff,
 
 def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
                           trans_dir_dir, incoming_toa, albedo_diffuse,
-                          albedo_direct, cs):
+                          albedo_direct, cs, gfirst=False):
     """Three lax.scan sweeps, the reference's own loop structure
     (radiation_adding_ica_sw.F90:85-143). Internal layout is g-first
     (nlev, ng, ...) — see _to_gfirst."""
-    inc_g = _gvec(incoming_toa)
-    cs_g = _gvec(cs)                            # (1, ...) vs (ng, ...)
+    if gfirst:
+        inc_g = incoming_toa
+        cs_g = jnp.asarray(cs).reshape(1, -1)   # (1, ncol)
+    else:
+        inc_g = _gvec(incoming_toa)
+        cs_g = _gvec(cs)                        # (1, ...) vs (ng, ...)
 
     # 1) direct beam descent
     def dir_body(fd, tdd):
         fd_next = tdd * fd
         return fd_next, fd_next
 
-    _, fdir_rest = jax.lax.scan(dir_body, inc_g,
-                                _to_gfirst(trans_dir_dir))
+    _, fdir_rest = jax.lax.scan(
+        dir_body, inc_g,
+        trans_dir_dir if gfirst else _to_gfirst(trans_dir_dir))
     flux_dn_direct = jnp.concatenate([inc_g[None], fdir_rest], 0)
     fdir_top = flux_dn_direct[:-1]              # entering each layer
 
     # 2) albedo & source ascent (reverse scan: surface->TOA, ys land
     # TOA-first with no flip copies)
-    alb_diff_g = _gvec(albedo_diffuse)
-    source_surf = _gvec(albedo_direct) * flux_dn_direct[-1] * cs_g
+    alb_diff_g = albedo_diffuse if gfirst else _gvec(albedo_diffuse)
+    albdir_g = albedo_direct if gfirst else _gvec(albedo_direct)
+    source_surf = albdir_g * flux_dn_direct[-1] * cs_g
 
     def up_body(carry, x):
         albedo_below, source_below = carry
@@ -298,8 +327,11 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
                   * inv_denom)
         return (albedo, source), (albedo, source, inv_denom)
 
-    xs = (_to_gfirst(ref), _to_gfirst(trans), _to_gfirst(ref_dir),
-          _to_gfirst(trans_dir_diff), fdir_top)
+    if gfirst:
+        xs = (ref, trans, ref_dir, trans_dir_diff, fdir_top)
+    else:
+        xs = (_to_gfirst(ref), _to_gfirst(trans), _to_gfirst(ref_dir),
+              _to_gfirst(trans_dir_diff), fdir_top)
     (_, _), (alb_t, src_t, inv_denom) = jax.lax.scan(
         up_body, (alb_diff_g, source_surf), xs, reverse=True)
     albedo = jnp.concatenate([alb_t, alb_diff_g[None]], 0)
@@ -317,5 +349,7 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
     flux_dn_diffuse = jnp.concatenate([zero[None], fd_rest], 0)
     flux_up = albedo * flux_dn_diffuse + source
 
+    if gfirst:
+        return flux_up, flux_dn_diffuse, flux_dn_direct * cs_g
     return (_from_gfirst(flux_up), _from_gfirst(flux_dn_diffuse),
             _from_gfirst(flux_dn_direct * cs_g))

@@ -28,16 +28,23 @@ def _normalized_surface_flux(flux_up_surf):
     return flux_up_surf / total
 
 
-def lw_derivatives_ica(transmittance, flux_up_surf):
-    """transmittance (ncol, nlev, ng) TOA-first; flux_up_surf (ncol, ng).
+def lw_derivatives_ica(transmittance, flux_up_surf, gfirst=False):
+    """transmittance (ncol, nlev, ng) TOA-first, or (nlev, ng, ncol)
+    with gfirst=True; flux_up_surf (ncol, ng).
     Returns (ncol, nlev+1) derivatives (surface value = 1)."""
     norm = _normalized_surface_flux(flux_up_surf)   # (ncol, ng)
+    lev_axis = 0 if gfirst else 1
     # P(l) = prod_{j >= l} trans(j): reverse cumprod along levels
-    rev = jnp.flip(transmittance, axis=1)
-    cum = jnp.cumprod(rev, axis=1)
-    pprod = jnp.flip(cum, axis=1)                   # (ncol, nlev, ng)
-    deriv_levels = (norm[:, None, :] * pprod).sum(-1)  # (ncol, nlev)
-    ones = jnp.ones((transmittance.shape[0], 1), transmittance.dtype)
+    rev = jnp.flip(transmittance, axis=lev_axis)
+    cum = jnp.cumprod(rev, axis=lev_axis)
+    pprod = jnp.flip(cum, axis=lev_axis)
+    if gfirst:
+        deriv_levels = (norm.T[None] * pprod).sum(axis=1).T  # (ncol,nlev)
+        ncol = transmittance.shape[-1]
+    else:
+        deriv_levels = (norm[:, None, :] * pprod).sum(-1)
+        ncol = transmittance.shape[0]
+    ones = jnp.ones((ncol, 1), transmittance.dtype)
     return jnp.concatenate([deriv_levels, ones], axis=1)
 
 

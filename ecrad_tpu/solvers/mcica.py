@@ -24,7 +24,7 @@ from ..optics.combine import combine_cloud_gas_lw, combine_cloud_gas_sw
 from . import two_stream as ts
 from .adding import adding_lw, adding_sw, lw_no_scattering_fluxes
 from .cloud_generator import cloud_generator
-from .cloudless import LwFluxes, SwFluxes
+from .cloudless import LwFluxes, SwFluxes, _gf
 from .pdf_sampler import PdfSampler
 
 
@@ -41,14 +41,16 @@ def solver_mcica_sw(config: RadiationConfig, pdf_sampler: PdfSampler,
                     incoming_sw, albedo_diffuse, albedo_direct):
     """Returns (total SwFluxes, clear SwFluxes, cloud_cover (ncol,))."""
     ncol, nlev, ng = od.shape
-    mu0 = jnp.maximum(cos_sza, 1e-10)[:, None, None]
+    mu0 = jnp.maximum(cos_sza, 1e-10)[None, :]     # (1, ncol) g-first
 
-    # ---- clear sky -------------------------------------------------------
+    # ---- clear sky (g-first layout throughout; see cloudless.py) --------
     r_c, t_c, rd_c, tdd_c, tdir_c = _sw_reftrans(
-        mu0, od, ssa, g, config.do_sw_delta_scaling_with_gases)
+        mu0, _gf(od), _gf(ssa), _gf(g),
+        config.do_sw_delta_scaling_with_gases)
     up_c, dnd_c, dndir_c = adding_sw(
-        r_c, t_c, rd_c, tdd_c, tdir_c, incoming_sw,
-        albedo_diffuse, albedo_direct, jnp.maximum(cos_sza, 1e-10))
+        r_c, t_c, rd_c, tdd_c, tdir_c, incoming_sw.T,
+        albedo_diffuse.T, albedo_direct.T, jnp.maximum(cos_sza, 1e-10),
+        gfirst=True)
 
     # ---- cloud generator ---------------------------------------------------
     od_scaling, tcc = cloud_generator(
@@ -65,26 +67,28 @@ def solver_mcica_sw(config: RadiationConfig, pdf_sampler: PdfSampler,
         od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
         od_scaling=od_scaling, cloud_mask=cloud_mask)
     r, t, rd, tdd, tdir = _sw_reftrans(
-        mu0, od_t, ssa_t, g_t, config.do_sw_delta_scaling_with_gases)
+        mu0, _gf(od_t), _gf(ssa_t), _gf(g_t),
+        config.do_sw_delta_scaling_with_gases)
     # clear layers reuse the clear-sky reftrans exactly
-    r = jnp.where(cloud_mask, r, r_c)
-    t = jnp.where(cloud_mask, t, t_c)
-    rd = jnp.where(cloud_mask, rd, rd_c)
-    tdd = jnp.where(cloud_mask, tdd, tdd_c)
-    tdir = jnp.where(cloud_mask, tdir, tdir_c)
+    mask_g = cloud.fraction.T[:, None, :] >= config.cloud_fraction_threshold
+    r = jnp.where(mask_g, r, r_c)
+    t = jnp.where(mask_g, t, t_c)
+    rd = jnp.where(mask_g, rd, rd_c)
+    tdd = jnp.where(mask_g, tdd, tdd_c)
+    tdir = jnp.where(mask_g, tdir, tdir_c)
     up, dnd, dndir = adding_sw(
-        r, t, rd, tdd, tdir, incoming_sw, albedo_diffuse, albedo_direct,
-        jnp.maximum(cos_sza, 1e-10))
+        r, t, rd, tdd, tdir, incoming_sw.T, albedo_diffuse.T,
+        albedo_direct.T, jnp.maximum(cos_sza, 1e-10), gfirst=True)
 
     # ---- blend: tcc*overcast + (1-tcc)*clear ------------------------------
-    has_cloud = (tcc >= config.cloud_fraction_threshold)[:, None, None]
-    w = tcc[:, None, None]
+    has_cloud = (tcc >= config.cloud_fraction_threshold)[None, None, :]
+    w = tcc[None, None, :]
     up_tot = jnp.where(has_cloud, w * up + (1 - w) * up_c, up_c)
     dnd_tot = jnp.where(has_cloud, w * dnd + (1 - w) * dnd_c, dnd_c)
     dndir_tot = jnp.where(has_cloud, w * dndir + (1 - w) * dndir_c,
                           dndir_c)
 
-    daylight = (cos_sza > 0.0)[:, None, None]
+    daylight = (cos_sza > 0.0)[None, None, :]
     zero = jnp.zeros_like(up_tot)
     total = SwFluxes(up=jnp.where(daylight, up_tot, 0.0),
                      dn_diffuse=jnp.where(daylight, dnd_tot, 0.0),
@@ -103,24 +107,27 @@ def solver_mcica_lw(config: RadiationConfig, pdf_sampler: PdfSampler,
                     planck_hl, emission, albedo):
     """Returns (total LwFluxes, clear LwFluxes, cloud_cover (ncol,))."""
     ncol, nlev, ng = od.shape
-    planck_top = planck_hl[:, :-1, :]
-    planck_bot = planck_hl[:, 1:, :]
+    planck_g = _gf(planck_hl)
+    planck_top = planck_g[:-1]
+    planck_bot = planck_g[1:]
+    emis_g, alb_g = emission.T, albedo.T
     do_clear_scat = (config.do_lw_aerosol_scattering)
 
-    # ---- clear sky -------------------------------------------------------
+    # ---- clear sky (g-first layout throughout; see cloudless.py) --------
     if do_clear_scat:
-        g1, g2 = ts.lw_gammas(ssa, g)
-        r_c, t_c, su_c, sd_c = ts.lw_reftrans(od, g1, g2, planck_top,
-                                              planck_bot)
+        g1, g2 = ts.lw_gammas(_gf(ssa), _gf(g))
+        r_c, t_c, su_c, sd_c = ts.lw_reftrans(_gf(od), g1, g2,
+                                              planck_top, planck_bot)
     else:
         t_c, su_c, sd_c = ts.lw_no_scattering_transmittance(
-            od, planck_top, planck_bot)
+            _gf(od), planck_top, planck_bot)
         r_c = jnp.zeros_like(t_c)
     if do_clear_scat:
-        up_c, dn_c = adding_lw(r_c, t_c, su_c, sd_c, emission, albedo)
+        up_c, dn_c = adding_lw(r_c, t_c, su_c, sd_c, emis_g, alb_g,
+                               gfirst=True)
     else:
-        up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c, emission,
-                                             albedo)
+        up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c, emis_g,
+                                             alb_g, gfirst=True)
 
     # ---- cloud generator (seed offset 997: radiation_mcica_lw.F90) -------
     od_scaling, tcc = cloud_generator(
@@ -137,36 +144,38 @@ def solver_mcica_lw(config: RadiationConfig, pdf_sampler: PdfSampler,
         od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
         config.do_lw_cloud_scattering, od_scaling=od_scaling,
         cloud_mask=cloud_mask)
+    mask_g = cloud.fraction.T[:, None, :] >= config.cloud_fraction_threshold
     if config.do_lw_cloud_scattering:
-        g1, g2 = ts.lw_gammas(ssa_t, g_t)
-        r, t, su, sd = ts.lw_reftrans(od_t, g1, g2, planck_top,
+        g1, g2 = ts.lw_gammas(_gf(ssa_t), _gf(g_t))
+        r, t, su, sd = ts.lw_reftrans(_gf(od_t), g1, g2, planck_top,
                                       planck_bot)
         # clear layers reuse the clear-sky properties (incl. R=0 when the
         # clear path is no-scattering: fast_adding equivalence)
-        r = jnp.where(cloud_mask, r, r_c)
-        t = jnp.where(cloud_mask, t, t_c)
-        su = jnp.where(cloud_mask, su, su_c)
-        sd = jnp.where(cloud_mask, sd, sd_c)
-        up, dn = adding_lw(r, t, su, sd, emission, albedo)
+        r = jnp.where(mask_g, r, r_c)
+        t = jnp.where(mask_g, t, t_c)
+        su = jnp.where(mask_g, su, su_c)
+        sd = jnp.where(mask_g, sd, sd_c)
+        up, dn = adding_lw(r, t, su, sd, emis_g, alb_g, gfirst=True)
     else:
         t, su, sd = ts.lw_no_scattering_transmittance(
-            od_t, planck_top, planck_bot)
-        t = jnp.where(cloud_mask, t, t_c)
-        su = jnp.where(cloud_mask, su, su_c)
-        sd = jnp.where(cloud_mask, sd, sd_c)
-        up, dn = lw_no_scattering_fluxes(t, su, sd, emission, albedo)
+            _gf(od_t), planck_top, planck_bot)
+        t = jnp.where(mask_g, t, t_c)
+        su = jnp.where(mask_g, su, su_c)
+        sd = jnp.where(mask_g, sd, sd_c)
+        up, dn = lw_no_scattering_fluxes(t, su, sd, emis_g, alb_g,
+                                         gfirst=True)
 
     # ---- blend -------------------------------------------------------------
-    has_cloud = (tcc >= config.cloud_fraction_threshold)[:, None, None]
-    w = tcc[:, None, None]
+    has_cloud = (tcc >= config.cloud_fraction_threshold)[None, None, :]
+    w = tcc[None, None, :]
     up_tot = jnp.where(has_cloud, w * up + (1 - w) * up_c, up_c)
     dn_tot = jnp.where(has_cloud, w * dn + (1 - w) * dn_c, dn_c)
 
     extras = {}
     if config.do_lw_derivatives:
         from .lw_derivatives import lw_derivatives_ica
-        deriv_cloudy = lw_derivatives_ica(t, up[:, -1, :])
-        deriv_clear = lw_derivatives_ica(t_c, up_c[:, -1, :])
+        deriv_cloudy = lw_derivatives_ica(t, up[-1].T, gfirst=True)
+        deriv_clear = lw_derivatives_ica(t_c, up_c[-1].T, gfirst=True)
         wcol = tcc[:, None]
         hc2 = (tcc >= config.cloud_fraction_threshold)[:, None]
         blendable = (tcc < 1.0 - config.cloud_fraction_threshold)[:, None]

@@ -384,13 +384,11 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
 
     _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, fdn0, fields_dn)
 
-    # (nlev+1, ng, ncol) -> (ncol, nlev+1, ng)
-    up_prof = jnp.transpose(
-        jnp.concatenate([src_top.sum(0)[None], fup_hist.sum(1)], axis=0),
-        (2, 0, 1))
-    dn_prof = jnp.transpose(
-        jnp.concatenate([jnp.zeros((1, ng, ncol), dtype),
-                         fdn_hist.sum(1)], axis=0), (2, 0, 1))
+    # g-first (nlev+1, ng, ncol)
+    up_prof = jnp.concatenate([src_top.sum(0)[None], fup_hist.sum(1)],
+                              axis=0)
+    dn_prof = jnp.concatenate([jnp.zeros((1, ng, ncol), dtype),
+                               fdn_hist.sum(1)], axis=0)
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     extras = {}
@@ -400,14 +398,17 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
         # transmittance matrices and the U overlap at each interface
         from .lw_derivatives import lw_derivatives_matrix
         extras["lw_derivatives"] = lw_derivatives_matrix(
-            trans, um_g, up_prof[:, -1, :], gfirst=True)
+            trans, um_g, up_prof[-1].T, gfirst=True)
 
-    # ---------------- clear sky -------------------------------------------
+    # ---------------- clear sky (g-first) ---------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes
+    from .cloudless import _gf
     if cfg.do_lw_aerosol_scattering:
-        up_c, dn_c = adding_lw(rc, tc, suc, sdc, emission, albedo)
+        up_c, dn_c = adding_lw(_gf(rc), _gf(tc), _gf(suc), _gf(sdc),
+                               emission.T, albedo.T, gfirst=True)
     else:
-        up_c, dn_c = lw_no_scattering_fluxes(tc, suc, sdc, emission,
-                                             albedo)
+        up_c, dn_c = lw_no_scattering_fluxes(_gf(tc), _gf(suc), _gf(sdc),
+                                             emission.T, albedo.T,
+                                             gfirst=True)
     clear = LwFluxes(up=up_c, dn=dn_c)
     return total, clear, tcc, extras

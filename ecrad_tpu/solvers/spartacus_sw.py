@@ -503,22 +503,24 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     def profile(top, hist):
         # top (nreg, ng, ncol); hist (nlev, nreg, ng, ncol)
-        prof = jnp.concatenate([top.sum(0)[None], hist.sum(1)], axis=0)
-        return jnp.transpose(prof, (2, 0, 1))      # (ncol, nlev+1, ng)
+        # -> g-first (nlev+1, ng, ncol)
+        return jnp.concatenate([top.sum(0)[None], hist.sum(1)], axis=0)
 
     up_prof = profile(fup0, fup_hist)
     dn_diff_prof = profile(jnp.zeros_like(fup0), fdn_hist)
-    dn_dir_prof = profile(direct0, ddn_hist) * mu0[:, None, None]
+    dn_dir_prof = profile(direct0, ddn_hist) * mu0[None, None, :]
     total = SwFluxes(up=up_prof, dn_diffuse=dn_diff_prof,
                      dn_direct=dn_dir_prof)
 
-    # ---------------- clear sky -------------------------------------------
+    # ---------------- clear sky (g-first) ---------------------------------
     from .adding import adding_sw
-    up_c, dnd_c, dndir_c = adding_sw(rc, tc, rdc, tdc, tddc, incoming_sw,
-                                     albedo_diffuse, albedo_direct, mu0)
+    from .cloudless import _gf
+    up_c, dnd_c, dndir_c = adding_sw(
+        _gf(rc), _gf(tc), _gf(rdc), _gf(tdc), _gf(tddc), incoming_sw.T,
+        albedo_diffuse.T, albedo_direct.T, mu0, gfirst=True)
     clear = SwFluxes(up=up_c, dn_diffuse=dnd_c, dn_direct=dndir_c)
 
-    daylight = (cos_sza > 1.0e-10)[:, None, None]
+    daylight = (cos_sza > 1.0e-10)[None, None, :]
     total = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in total))
     clear = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in clear))
     tcc = jnp.where(cos_sza > 1.0e-10, tcc, -1.0)

@@ -308,27 +308,29 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
 
     (_, _), (fup_hist, fdn_hist, ddn_hist) = jax.lax.scan(
         dn_body, (flux_dn0, init_dir), jnp.arange(nlev))
-    # assemble half-level fluxes: (nlev+1, ng, ncol) -> (ncol, nlev+1, ng)
-    prof = lambda top, hist: jnp.transpose(
-        jnp.concatenate([top[None], hist.sum(1)], axis=0), (2, 0, 1))
+    # assemble g-first half-level fluxes (nlev+1, ng, ncol)
+    prof = lambda top, hist: jnp.concatenate(
+        [top[None], hist.sum(1)], axis=0)
     up_prof = prof(flux_up0.sum(0), fup_hist)
     dn_diff_prof = prof(jnp.zeros((ng, ncol), dtype), fdn_hist)
-    dn_dir_prof = prof(init_dir.sum(0), ddn_hist) * mu0[:, None, None]
+    dn_dir_prof = prof(init_dir.sum(0), ddn_hist) * mu0[None, None, :]
 
     total = SwFluxes(up=up_prof, dn_diffuse=dn_diff_prof,
                      dn_direct=dn_dir_prof)
 
-    # ---------------- clear sky (standard ICA) ---------------------------
+    # ---------------- clear sky (standard ICA, g-first) -------------------
     from .adding import adding_sw
-    g1c, g2c, g3c = ts.sw_gammas(mu0[:, None, None], ssa, g)
-    rc, tc, rdc, tddc, tdirc = ts.sw_reftrans(mu0[:, None, None], od, ssa,
+    from .cloudless import _gf
+    od_g, ssa_g, g_g = _gf(od), _gf(ssa), _gf(g)
+    g1c, g2c, g3c = ts.sw_gammas(mu0[None, :], ssa_g, g_g)
+    rc, tc, rdc, tddc, tdirc = ts.sw_reftrans(mu0[None, :], od_g, ssa_g,
                                               g1c, g2c, g3c)
     up_c, dnd_c, dndir_c = adding_sw(rc, tc, rdc, tddc, tdirc,
-                                     incoming_sw, albedo_diffuse,
-                                     albedo_direct, mu0)
+                                     incoming_sw.T, albedo_diffuse.T,
+                                     albedo_direct.T, mu0, gfirst=True)
     clear = SwFluxes(up=up_c, dn_diffuse=dnd_c, dn_direct=dndir_c)
 
-    daylight = (single_level.cos_sza > 0.0)[:, None, None]
+    daylight = (single_level.cos_sza > 0.0)[None, None, :]
     total = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in total))
     clear = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in clear))
     # night columns: reference leaves cloud_cover_sw at its -1 init
@@ -408,12 +410,11 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
     trans = jnp.stack([gfx(x) for x in transs], axis=1)
     sup = jnp.stack([gfx(x) for x in sups], axis=1)
     sdn = jnp.stack([gfx(x) for x in sdns], axis=1)
-    # clear-sky layer properties back to (ncol, nlev, ng) for adding
-    back = lambda x: jnp.transpose(x, (2, 0, 1))
-    sup_clear = back(sup[:, 0])
-    sdn_clear = back(sdn[:, 0])
-    trans_clear = back(trans[:, 0])
-    ref_clear = back(ref[:, 0])
+    # clear-sky layer properties stay g-first (nlev, ng, ncol)
+    sup_clear = sup[:, 0]
+    sdn_clear = sdn[:, 0]
+    trans_clear = trans[:, 0]
+    ref_clear = ref[:, 0]
 
     # scale sources by region fraction (cloudy layers)
     # (nlev, nreg, 1, ncol)
@@ -490,8 +491,8 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
 
     _, (fup_hist, fdn_hist) = jax.lax.scan(dn_body, flux_dn0,
                                            jnp.arange(nlev))
-    prof = lambda top, hist: jnp.transpose(
-        jnp.concatenate([top[None], hist.sum(1)], axis=0), (2, 0, 1))
+    prof = lambda top, hist: jnp.concatenate(
+        [top[None], hist.sum(1)], axis=0)        # g-first (nlev+1,ng,ncol)
     up_prof = prof(src_top.sum(0), fup_hist)
     dn_prof = prof(jnp.zeros((ng, ncol), dtype), fdn_hist)
     total = LwFluxes(up=up_prof, dn=dn_prof)
@@ -502,15 +503,17 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         # spectral flux is the region sum of the lowest-interface up-flux
         from .lw_derivatives import lw_derivatives_region
         extras["lw_derivatives"] = lw_derivatives_region(
-            trans, um_g, up_prof[:, -1, :], gfirst=True)
+            trans, um_g, up_prof[-1].T, gfirst=True)
 
-    # ---------------- clear sky -------------------------------------------
+    # ---------------- clear sky (g-first) ---------------------------------
     from .adding import adding_lw, lw_no_scattering_fluxes
     if cfg.do_lw_aerosol_scattering:
         up_c, dn_c = adding_lw(ref_clear, trans_clear, sup_clear,
-                               sdn_clear, emission, albedo)
+                               sdn_clear, emission.T, albedo.T,
+                               gfirst=True)
     else:
         up_c, dn_c = lw_no_scattering_fluxes(trans_clear, sup_clear,
-                                             sdn_clear, emission, albedo)
+                                             sdn_clear, emission.T,
+                                             albedo.T, gfirst=True)
     clear = LwFluxes(up=up_c, dn=dn_c)
     return total, clear, tcc, extras
