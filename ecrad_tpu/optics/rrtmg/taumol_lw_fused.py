@@ -665,7 +665,7 @@ TAB_FIELDS = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
 
 
 def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
-                          tile: int = 256, cell_major: bool = False):
+                          tile: int = 0, cell_major: bool = False):
     """(tau, pfrac) from packed (NF, N)/(NI, N) inputs.
 
     cell_major=False: each output is (140, N) (g-major, historic form).
@@ -673,6 +673,9 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
     (140, tile) result in VMEM so no (ncol*nlev, 140) relayout is ever
     materialized in HBM afterwards (measured ~2.6 ms per array at 280k
     cells otherwise)."""
+    if not tile:
+        import os
+        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
     n = fc.shape[1]
     tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS}
     if not use_pallas:

@@ -327,9 +327,12 @@ TAB_FIELDS_SW = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
 
 
 def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
-                          tile: int = 256, cell_major: bool = False):
+                          tile: int = 0, cell_major: bool = False):
     """cell_major=True emits (N, 112) outputs (in-VMEM transpose; no
     HBM relayout afterwards) — see taumol_lw_fused."""
+    if not tile:
+        import os
+        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
     n = fc.shape[1]
     tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS_SW}
     if not use_pallas:
