@@ -380,13 +380,18 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
         out_spec = pl.BlockSpec((112, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((112, n_pad), jnp.float32)
-    taug, taur = pl.pallas_call(
-        kernel,
-        grid=(n_pad // tile,),
-        in_specs=in_specs,
-        out_specs=[out_spec, out_spec],
-        out_shape=[out_shape, out_shape],
-    )(fc, ic, *tab_vals)
+    from . import taumol_lw_fused as _lwf
+    _lwf._IN_PALLAS = True
+    try:
+        taug, taur = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=in_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=[out_shape, out_shape],
+        )(fc, ic, *tab_vals)
+    finally:
+        _lwf._IN_PALLAS = False
     if cell_major:
         return taug[:n], taur[:n]
     return taug[:, :n], taur[:, :n]
