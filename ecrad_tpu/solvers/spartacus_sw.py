@@ -375,9 +375,22 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         # --- this level's reflectance/transmittance matrices ----------
         od_capped = jnp.concatenate(
             [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
-        ref3, trans3, refdir3, tdiff3, tdd3 = _gamma_reftrans_level(
-            cfg, nreg, mu0_b, od_capped, ssa_l, g_l, trd_l, trf_l,
-            use3d=use3d_l)
+
+        # skip the Gamma/expm machinery on levels with no 3D-treated
+        # point anywhere (cloud-free levels): the where-select below
+        # discards the result there (sel all-False)
+        def full3d(ops):
+            od_c, ssa_o, g_o, trd_o, trf_o, u3 = ops
+            return _gamma_reftrans_level(cfg, nreg, mu0_b, od_c, ssa_o,
+                                         g_o, trd_o, trf_o, use3d=u3)
+
+        def skip3d(ops):
+            z_mat = jnp.zeros((nreg, nreg) + od_l.shape[1:], dtype)
+            return z_mat, z_mat, z_mat, z_mat, z_mat
+
+        ref3, trans3, refdir3, tdiff3, tdd3 = jax.lax.cond(
+            jnp.any(use3d_l), full3d, skip3d,
+            (od_capped, ssa_l, g_l, trd_l, trf_l, use3d_l))
         # Meador-Weaver fallback (diagonal matrices)
         g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
         rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
@@ -394,6 +407,14 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         RD = _zero_offdiag_clear(RD, is_clear)
         TD = _zero_offdiag_clear(TD, is_clear)
         TDD = _zero_offdiag_clear(TDD, is_clear)
+        if entrap in (Entrapment.EXPLICIT,
+                      Entrapment.EXPLICIT_NON_FRACTAL):
+            x_diff, x_dir = _step_migrations(
+                cfg, nreg, cf_l, dz_l, tan_sza, R, T, RD, TDD, TD,
+                alb, albdir, x_diff, x_dir, xld, xldir)
+
+        both_clear = (cl_l & cl_prev)[None, :]
+
         # --- accumulate the below-interface albedos -------------------
         denom = -mm_g(alb, R)
         for i in range(nreg):
@@ -406,14 +427,6 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         albdir_below = RD + X[:, nreg:]
         alb_below = _zero_offdiag_clear(alb_below, is_clear)
         albdir_below = _zero_offdiag_clear(albdir_below, is_clear)
-
-        if entrap in (Entrapment.EXPLICIT,
-                      Entrapment.EXPLICIT_NON_FRACTAL):
-            x_diff, x_dir = _step_migrations(
-                cfg, nreg, cf_l, dz_l, tan_sza, R, T, RD, TDD, TD,
-                alb, albdir, x_diff, x_dir, xld, xldir)
-
-        both_clear = (cl_l & cl_prev)[None, :]
 
         if entrap == Entrapment.MAXIMUM:
             mixed = mm_g(mm_g(um, alb_below), vm)
