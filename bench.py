@@ -9,11 +9,18 @@ against the LATEST recorded round in BASELINE.json
 previous round shows up as vs_baseline < 1 in the driver-captured
 artifact.
 
+With "all" (the default), two extra artifact lines are appended before
+the headline when a real accelerator is attached: a kernel-equivalence
+pass/fail (tools/check_kernel_equivalence.py: Pallas vs jnp fallback on
+hardware) and the roofline fractions (tools/roofline.py), so a solver
+or kernel regression is visible in the per-round BENCH record.
+
 Environment:
   ECRAD_BENCH_SOLVER   Cloudless|Homogeneous|McICA|Tripleclouds|
-                       SPARTACUS|all   (default: McICA only)
+                       SPARTACUS|all   (default: all)
   ECRAD_BENCH_TILE     batch = tile * 32 meridian columns
   ECRAD_BENCH_REPEAT   timing repeats (default 10, min taken)
+  ECRAD_BENCH_EXTRAS   0 disables the equivalence/roofline lines
 """
 import json
 import os
@@ -96,6 +103,66 @@ def bench_solver(solver, inputs, baselines):
     }
 
 
+ROOFLINE_BASE = {           # round-2 fractions (ROOFLINE_r02.json)
+    "roofline_gas_optics_stage": 0.817,
+    "roofline_cloudless_e2e": 0.622,
+    "roofline_taumol_lw_fused": 0.21,
+    "roofline_taumol_sw_fused": 0.312,
+}
+
+
+def run_extras():
+    """Kernel-equivalence + roofline artifact lines (subprocesses so a
+    failure there cannot take down the solver lines)."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    baselines = ROOFLINE_BASE
+    lines = []
+
+    ok = 0
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools",
+                                          "check_kernel_equivalence.py")],
+            capture_output=True, timeout=1800)
+        ok = 1 if r.returncode == 0 else 0
+        if not ok:
+            sys.stderr.write(r.stdout.decode()[-2000:]
+                             + r.stderr.decode()[-2000:])
+    except Exception as e:
+        sys.stderr.write(f"kernel equivalence run failed: {e}\n")
+    lines.append({"metric": "kernel_equivalence_on_hw", "value": ok,
+                  "unit": "pass", "vs_baseline": float(ok)})
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "roofline.py")],
+            capture_output=True, timeout=1800)
+        data = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        for key, label in (
+                ("gas_optics_stage(taumol+setcoef+planck)",
+                 "roofline_gas_optics_stage"),
+                ("cloudless_e2e(gas+two_stream+adding)",
+                 "roofline_cloudless_e2e")):
+            frac = data[key].get("roofline_fraction_xla_visible",
+                                 data[key].get("roofline_fraction"))
+            base = baselines.get(label, 0.0)
+            lines.append({
+                "metric": label, "value": frac,
+                "unit": "fraction_of_roofline",
+                "vs_baseline": round(frac / base, 3) if base else 1.0})
+        for key in ("taumol_lw_fused", "taumol_sw_fused"):
+            base = baselines.get(f"roofline_{key}", 0.0)
+            frac = data[key]["roofline_fraction"]
+            lines.append({
+                "metric": f"roofline_{key}", "value": frac,
+                "unit": "fraction_of_analytic_ceiling",
+                "vs_baseline": round(frac / base, 3) if base else 1.0})
+    except Exception as e:
+        sys.stderr.write(f"roofline run failed: {e}\n")
+    return lines
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ecrad_tpu.io.input_reader import read_input
@@ -116,11 +183,20 @@ def main():
 
     inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
 
-    which = os.environ.get("ECRAD_BENCH_SOLVER", "McICA")
+    which = os.environ.get("ECRAD_BENCH_SOLVER", "all")
     solvers = SOLVERS if which == "all" else [which]
-    for solver in solvers:
+    # the extras go BEFORE the last solver line so the driver's
+    # parsed headline stays the McICA throughput
+    for solver in solvers[:-1]:
         print(json.dumps(bench_solver(solver, inputs, baselines)),
               flush=True)
+    if (which == "all"
+            and os.environ.get("ECRAD_BENCH_EXTRAS", "1") != "0"
+            and jax.devices()[0].platform != "cpu"):
+        for line in run_extras():
+            print(json.dumps(line), flush=True)
+    print(json.dumps(bench_solver(solvers[-1], inputs, baselines)),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -335,11 +335,6 @@ def pack_coeffs(c: Coeffs, t) -> tuple:
 import os
 
 _PREC_NAME = os.environ.get("ECRAD_TAUMOL_PRECISION", "3pass")
-# inside-Pallas flag: the 3-pass bf16x2 emulation is only faithful under
-# Mosaic — plain XLA's algebraic simplifier merges the split dots back
-# into bf16-quality products (measured 2.7e-2 rel), so the jnp fallback
-# path always runs native HIGHEST.
-_IN_PALLAS = False
 
 
 def _dot_p(a, b, precision):
@@ -349,18 +344,23 @@ def _dot_p(a, b, precision):
         preferred_element_type=jnp.float32)
 
 
-def _dot(a, b):
+def _dot(a, b, in_pallas=False):
     """Class matmul for the fused kernels.
 
-    Inside the Pallas kernels (default "3pass"): manual bf16x2 split of
-    both operands, three DEFAULT-precision MXU passes with f32
-    accumulation — ~16 mantissa bits (measured 3.7e-4 max / 5e-5 p99.9
-    rel on tau vs HIGHEST; end-to-end flux error vs the reference
-    golden unchanged) at ~60% of HIGHEST's cost (LW kernel 10.75 ->
-    6.3 ms; Mosaic supports only DEFAULT/HIGHEST, so
+    in_pallas=True (the Mosaic-traced kernel bodies, default "3pass"):
+    manual bf16x2 split of both operands, three DEFAULT-precision MXU
+    passes with f32 accumulation — ~16 mantissa bits (measured 3.7e-4
+    max / 5e-5 p99.9 rel on tau vs HIGHEST; end-to-end flux error vs
+    the reference golden unchanged) at ~60% of HIGHEST's cost (LW
+    kernel 10.75 -> 6.3 ms; Mosaic supports only DEFAULT/HIGHEST, so
     lax.Precision.HIGH is unavailable in Pallas).
+
+    in_pallas=False (the jnp fallback path): native HIGHEST — the
+    3-pass emulation is only faithful under Mosaic; plain XLA's
+    algebraic simplifier merges the split dots back into bf16-quality
+    products (measured 2.7e-2 rel).
     ECRAD_TAUMOL_PRECISION=highest|default overrides."""
-    if not _IN_PALLAS or _PREC_NAME == "highest":
+    if not in_pallas or _PREC_NAME == "highest":
         return _dot_p(a, b, jax.lax.Precision.HIGHEST)
     if _PREC_NAME == "default":
         return _dot_p(a, b, jax.lax.Precision.DEFAULT)
@@ -420,14 +420,16 @@ def _onehot_rows(nrows, idx_terms, tile):
     return acc
 
 
-def lw_fused_body(fc, ic, tabs, meta):
+def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     """Compute (tau, pfrac), each (140, tile), from packed coeff tiles.
 
     fc: (NF, tile) f32; ic: (NI, tile) int32; tabs: dict name->jnp
     array (the LwFusedTables fields); meta: static metadata dict.
     Pure jnp — runs identically inside a Pallas kernel or under plain
-    XLA (the CPU path / equivalence tests).
+    XLA (the CPU path / equivalence tests); in_pallas selects the
+    matmul precision strategy (see _dot).
     """
+    dot = functools.partial(_dot, in_pallas=in_pallas)
     tile = fc.shape[1]
 
     def f(name):
@@ -466,15 +468,15 @@ def lw_fused_body(fc, ic, tabs, meta):
                                 (indminor, mfrac)], tile)
 
     # ---- the class matmuls ---------------------------------------------
-    M_t0 = _dot(tabs["tropo_cat"], A_t0)     # (828, tile)
-    M_t1 = _dot(tabs["tropo_cat"], A_t1)
-    M_s0 = _dot(tabs["strat_cat"], A_s0)     # (302, tile)
-    M_s1 = _dot(tabs["strat_cat"], A_s1)
-    self_c = _dot(tabs["self_t"], W_self)    # (140, tile)
-    for_c = (_dot(tabs["for_ung_t"], W_for)
-             + _dot(tabs["for_gated_t"], W_for * tropf))
-    M_minor = _dot(tabs["minor_t"], W_minor)      # (112, tile)
-    M_meta = _dot(tabs["minor_eta_t"], W_minor)   # (638, tile)
+    M_t0 = dot(tabs["tropo_cat"], A_t0)     # (828, tile)
+    M_t1 = dot(tabs["tropo_cat"], A_t1)
+    M_s0 = dot(tabs["strat_cat"], A_s0)     # (302, tile)
+    M_s1 = dot(tabs["strat_cat"], A_s1)
+    self_c = dot(tabs["self_t"], W_self)    # (140, tile)
+    for_c = (dot(tabs["for_ung_t"], W_for)
+             + dot(tabs["for_gated_t"], W_for * tropf))
+    M_minor = dot(tabs["minor_t"], W_minor)      # (112, tile)
+    M_meta = dot(tabs["minor_eta_t"], W_minor)   # (638, tile)
 
     # ---- per-cell columns & adjustments --------------------------------
     colh2o, colco2, colo3 = f("colh2o"), f("colco2"), f("colo3")
@@ -673,7 +675,7 @@ def lw_fused_body(fc, ic, tabs, meta):
             9, [(jpl, tropf * (1.0 - fpl)), (jpl + 1, tropf * fpl)],
             tile))
     W_pf = jnp.concatenate(wp_blocks, axis=0)      # (81, tile)
-    pfrac = pfrac + _dot(tabs["pf_tropo_t"], W_pf)
+    pfrac = pfrac + dot(tabs["pf_tropo_t"], W_pf)
 
     pf_strat_args = {
         3: (colh2o, ch["pf3_b"], colco2),
@@ -688,7 +690,7 @@ def lw_fused_body(fc, ic, tabs, meta):
             5, [(jplb, stratf * (1.0 - fplb)), (jplb + 1, stratf * fplb)],
             tile))
     W_pfs = jnp.concatenate(wps_blocks, axis=0)    # (15, tile)
-    pfrac = pfrac + _dot(tabs["pf_strat_t"], W_pfs)
+    pfrac = pfrac + dot(tabs["pf_strat_t"], W_pfs)
 
     return tau, pfrac
 
@@ -732,7 +734,8 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
         tab_refs = refs[:len(TAB_FIELDS)]
         tau_ref, pf_ref = refs[len(TAB_FIELDS):]
         tabs = {k: r[:] for k, r in zip(TAB_FIELDS, tab_refs)}
-        tau, pfrac = lw_fused_body(fc_ref[:], ic_ref[:], tabs, meta)
+        tau, pfrac = lw_fused_body(fc_ref[:], ic_ref[:], tabs, meta,
+                                   in_pallas=True)
         if cell_major:
             tau_ref[:] = tau.T
             pf_ref[:] = pfrac.T
@@ -759,18 +762,13 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
         out_spec = pl.BlockSpec((140, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((140, n_pad), jnp.float32)
-    global _IN_PALLAS
-    _IN_PALLAS = True
-    try:
-        tau, pfrac = pl.pallas_call(
-            kernel,
-            grid=(n_pad // tile,),
-            in_specs=in_specs,
-            out_specs=[out_spec, out_spec],
-            out_shape=[out_shape, out_shape],
-        )(fc, ic, *tab_vals)
-    finally:
-        _IN_PALLAS = False
+    tau, pfrac = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
+    )(fc, ic, *tab_vals)
     if cell_major:
         return tau[:n], pfrac[:n]
     return tau[:, :n], pfrac[:, :n]

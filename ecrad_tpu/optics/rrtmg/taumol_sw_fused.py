@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -208,8 +210,10 @@ def _eta_cols(f, band):
     raise KeyError(band)
 
 
-def sw_fused_body(fc, ic, tabs, meta):
-    """(taug, taur), each (112, tile)."""
+def sw_fused_body(fc, ic, tabs, meta, in_pallas=False):
+    """(taug, taur), each (112, tile); in_pallas selects the matmul
+    precision strategy (see taumol_lw_fused._dot)."""
+    dot = functools.partial(_dot, in_pallas=in_pallas)
     tile = fc.shape[1]
 
     def f(name):
@@ -243,11 +247,11 @@ def sw_fused_body(fc, ic, tabs, meta):
     W_for = _onehot_rows(4, [(indfor - 1, ff * (1.0 - ffrac)),
                              (indfor, ff * ffrac)], tile)
 
-    M_t = _dot(tabs["tropo_cat"], A_t)
-    M_s = _dot(tabs["strat_cat"], A_s)
-    taug = (_dot(tabs["self_t"], W_self)
-            + _dot(tabs["for_ung_t"], W_for)
-            + _dot(tabs["for_gated_t"], W_for * tropf))
+    M_t = dot(tabs["tropo_cat"], A_t)
+    M_s = dot(tabs["strat_cat"], A_s)
+    taug = (dot(tabs["self_t"], W_self)
+            + dot(tabs["for_ung_t"], W_for)
+            + dot(tabs["for_gated_t"], W_for * tropf))
 
     noeta_w = {20: f("colh2o"), 23: meta["givfac23"] * f("colh2o"),
                25: f("colh2o"), 27: f("colo3"), 29: f("colh2o")}
@@ -312,7 +316,7 @@ def sw_fused_body(fc, ic, tabs, meta):
     wmol = tropf * colmol
     W24 = _onehot_rows(9, [(js, wmol * (1.0 - fs)),
                            (js + 1, wmol * fs)], tile)
-    r24 = _dot(tabs["rayl24_t"], W24)             # (8, tile)
+    r24 = dot(tabs["rayl24_t"], W24)             # (8, tile)
     o24 = G_OFF_SW[24]
     taur = taur + jnp.concatenate([
         jnp.zeros((o24, tile), jnp.float32), r24,
@@ -354,7 +358,8 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
         tab_refs = refs[:len(TAB_FIELDS_SW)]
         tg_ref, tr_ref = refs[len(TAB_FIELDS_SW):]
         tabs = {k: r[:] for k, r in zip(TAB_FIELDS_SW, tab_refs)}
-        taug, taur = sw_fused_body(fc_ref[:], ic_ref[:], tabs, meta)
+        taug, taur = sw_fused_body(fc_ref[:], ic_ref[:], tabs, meta,
+                                   in_pallas=True)
         if cell_major:
             tg_ref[:] = taug.T
             tr_ref[:] = taur.T
@@ -380,18 +385,13 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
         out_spec = pl.BlockSpec((112, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((112, n_pad), jnp.float32)
-    from . import taumol_lw_fused as _lwf
-    _lwf._IN_PALLAS = True
-    try:
-        taug, taur = pl.pallas_call(
-            kernel,
-            grid=(n_pad // tile,),
-            in_specs=in_specs,
-            out_specs=[out_spec, out_spec],
-            out_shape=[out_shape, out_shape],
-        )(fc, ic, *tab_vals)
-    finally:
-        _lwf._IN_PALLAS = False
+    taug, taur = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_shape, out_shape],
+    )(fc, ic, *tab_vals)
     if cell_major:
         return taug[:n], taur[:n]
     return taug[:, :n], taur[:, :n]

@@ -226,9 +226,10 @@ def expm_sw_g(M, C, D):
     Pc = V[1] - U[1]
     Pd = V[2] - U[2]
     Xd = solve_g(Pd, 2.0 * U[2])
-    Xm = solve_g(Pm, 2.0 * U[0])
-    Xc = solve_g(Pm, 2.0 * U[1] - mm_g(Pc, Xd))
-    P = (add_eye(Xm, 1.0), Xc, add_eye(Xd, 1.0))
+    # one LU factorization of Pm for both right-hand-side families
+    Xmc = solve_g(Pm, jnp.concatenate(
+        [2.0 * U[0], 2.0 * U[1] - mm_g(Pc, Xd)], axis=1))
+    P = (add_eye(Xmc[:, :m2], 1.0), Xmc[:, m2:], add_eye(Xd, 1.0))
 
     expo_max = jnp.minimum(jnp.max(expo), _MAX_SQUARINGS)
 

@@ -35,6 +35,14 @@ from .tripleclouds import calc_overlap_matrices, calc_region_properties
 FOUR_OVER_PI = 4.0 / np.pi
 R_OVER_G = 287.0 / 9.80665
 MIN_MU0_3D = 0.06
+# Cap on od/mu0 entering the Gamma direct block. exp(-60) = 8.8e-27 —
+# zero at f32 flux resolution — but an uncapped diagonal (od/mu0 can
+# reach ~1e11 near the terminator; mu0 is clamped at 1e-10) drives the
+# 1-norm-based squaring count in expm_sw_g to its bound for the WHOLE
+# (ng, ncol) level batch: masked lanes still pay each squaring's
+# block products. Measured: the meridian's low-sun columns forced 10
+# squarings on every cloudy level; the cap bounds it at ~5.
+MAX_OD_OVER_MU0_3D = 60.0
 # tan of the effective diffuse zenith angle (reference: diffusivity 2 ->
 # tan(acos(1/2)) = sqrt(3); radiation_spartacus_sw.F90 tan_diffuse_angle_3d)
 TAN_DIFFUSE_ANGLE_3D = np.sqrt(3.0)
@@ -142,7 +150,8 @@ def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
         add(r, 2 * nreg + r, -od_rg[r] * ssa_rg[r] * gamma3[r])
         add(nreg + r, 2 * nreg + r,
             od_rg[r] * ssa_rg[r] * (1.0 - gamma3[r]))
-        add(2 * nreg + r, 2 * nreg + r, -od_rg[r] * one_over_mu0)
+        add(2 * nreg + r, 2 * nreg + r,
+            -jnp.minimum(od_rg[r] * one_over_mu0, MAX_OD_OVER_MU0_3D))
     for r in range(nreg - 1):
         add(r, r, trf[r, r + 1])
         add(r + 1, r + 1, trf[r + 1, r])
@@ -186,10 +195,12 @@ def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
     A = Em[:nreg, :nreg]
     B = Em[:nreg, nreg:]
     C = Ec[:nreg]
-    ref = jnp.clip(-solve_g(A, B), 0.0, 1.0)
+    # one LU factorization of A for both right-hand-side families
+    X = solve_g(A, jnp.concatenate([B, C], axis=1))
+    ref = jnp.clip(-X[:, :nreg], 0.0, 1.0)
+    refdir = jnp.clip(-X[:, nreg:], 0.0, mu0)
     trans = jnp.clip(mm_g(Em[nreg:, :nreg], ref) + Em[nreg:, nreg:],
                      0.0, 1.0)
-    refdir = jnp.clip(-solve_g(A, C), 0.0, mu0)
     tdiff = jnp.clip(mm_g(Em[nreg:, :nreg], refdir) + Ec[nreg:],
                      0.0, mu0)
     return ref, trans, refdir, tdiff, tdd
@@ -301,9 +312,16 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     ssa_r = jnp.stack([gfx(x) for x in ssa_list], axis=1)
     g_r = jnp.stack([gfx(x) for x in g_list], axis=1)
 
-    # 3D-selection mask (ncol, nlev, ng) -> per level (ng, ncol)
+    # 3D-selection mask (ncol, nlev, ng) -> per level (ng, ncol).
+    # Sub-horizon columns are excluded like the reference's early
+    # cycle (radiation_spartacus_sw.F90:360): their fluxes are zeroed
+    # at the end, and running them through expm would put od/mu0 ~
+    # 1e11 diagonals into Gamma (mu0 clamped at 1e-10), forcing the
+    # max squaring count on every cloudy level's whole batch.
     g_ok = od <= cfg.max_gas_od_3d
-    use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
+    daylit = (cos_sza > 1.0e-10)[:, None, None]
+    use3d = ((has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
+             & daylit)
     use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
     clear_lay = ~cloudy
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
