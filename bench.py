@@ -103,11 +103,16 @@ def bench_solver(solver, inputs, baselines):
     }
 
 
-ROOFLINE_BASE = {           # round-2 fractions (ROOFLINE_r02.json)
+ROOFLINE_BASE = {
+    # stage fractions: round-2 values (ROOFLINE_r02.json)
     "roofline_gas_optics_stage": 0.817,
     "roofline_cloudless_e2e": 0.622,
-    "roofline_taumol_lw_fused": 0.21,
-    "roofline_taumol_sw_fused": 0.312,
+    # kernel fractions: round-3 start on the NEW ceiling basis (bf16
+    # padded-k flops of the folded single-matmul products at bf16 peak;
+    # round 2's 0.21/0.312 were f32-equivalent flops at peak/6 and are
+    # not comparable)
+    "roofline_taumol_lw_fused": 0.302,
+    "roofline_taumol_sw_fused": 0.232,
 }
 
 

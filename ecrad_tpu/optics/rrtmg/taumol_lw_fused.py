@@ -79,20 +79,37 @@ def _strat_scaled(t, band):
 
 class LwFusedTables(NamedTuple):
     """Concatenated numpy tables (all oriented for (R_out, R_in) @
-    (R_in, tile) products) plus static row-offset metadata."""
+    (R_in, tile) products) plus static row-offset metadata.
+
+    *_cat are f32, used by the HIGHEST-precision fallback path; *_fold
+    are the same tables pre-split [hi | lo | hi] in bfloat16 for the
+    in-kernel single-matmul 3-pass emulation (see _dot_fold). Small
+    tables sharing output g-rows are merged along k so the whole
+    self/foreign/minor/Planck-fraction family costs a few MXU products
+    instead of many k<32 launches that each pad k to 128."""
     tropo_cat: np.ndarray      # (828, 65)
     strat_cat: np.ndarray      # (302, 235)
-    self_t: np.ndarray         # (140, 10)
-    for_ung_t: np.ndarray      # (140, 4)
-    for_gated_t: np.ndarray    # (140, 4)
-    minor_t: np.ndarray        # (112, 19)
-    minor_eta_t: np.ndarray    # (638, 19)
-    pf_tropo_t: np.ndarray     # (140, 81)
-    pf_strat_t: np.ndarray     # (140, 15)
+    sf_cat: np.ndarray         # (140, 32): self | self(b2) | for_ung |
+    #                            for_ung(b2) | for_gated
+    minor_cat: np.ndarray      # (750, 19): minor (112) over minor_eta
+    pf_cat: np.ndarray         # (140, 96): pf_tropo | pf_strat
+    tropo_fold: np.ndarray     # (828, 195) bf16
+    strat_fold: np.ndarray     # (302, 705) bf16
+    sf_fold: np.ndarray        # (140, 96) bf16
+    minor_fold: np.ndarray     # (750, 57) bf16
+    pf_fold: np.ndarray        # (140, 288) bf16
     const_vecs: np.ndarray     # (4, 140): ccl4, cfc11, cfc12, cfc22
     pf_a_const: np.ndarray     # (140,)
     pf_b_const: np.ndarray     # (140,)
     meta: dict                 # static offsets (python ints only)
+
+
+def _fold_table(tab):
+    """[hi | lo | hi] bf16 split of an f32 table for _dot_fold."""
+    import ml_dtypes
+    hi = tab.astype(ml_dtypes.bfloat16)
+    lo = (tab - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.concatenate([hi, lo, hi], axis=1)
 
 
 def _place(vec_by_band, width=140):
@@ -271,11 +288,30 @@ def build_lw_fused(t) -> LwFusedTables:
         "pf16_a": chi_at(1, 6) / chi_at(6, 6),
     }
 
+    # ---- merged small tables (shared output g-rows -> one product) -----
+    # sf_cat columns: self | self(band-2 rows only) | for_ung |
+    # for_ung(band-2 rows only) | for_gated. The band-2-only copies
+    # carry the per-cell corradj2/wa2 corrections as extra weight rows
+    # (w * (corr - 1)) so no post-product row scaling is needed.
+    o2, n2_ = G_OFF[1], G_OFF[2]
+    sf_cat = np.zeros((140, 32), F32)
+    sf_cat[:, 0:10] = self_t
+    sf_cat[o2:n2_, 10:20] = self_t[o2:n2_]
+    sf_cat[:, 20:24] = for_ung_t
+    sf_cat[o2:n2_, 24:28] = for_ung_t[o2:n2_]
+    sf_cat[:, 28:32] = for_gated_t
+    minor_cat = np.concatenate([minor_t, minor_eta_t], axis=0)
+    pf_cat = np.concatenate([pf_tropo_t, pf_strat_t], axis=1)
+
     fd = LwFusedTables(
-        tropo_cat=tropo_cat, strat_cat=strat_cat, self_t=self_t,
-        for_ung_t=for_ung_t, for_gated_t=for_gated_t, minor_t=minor_t,
-        minor_eta_t=minor_eta_t, pf_tropo_t=pf_tropo_t,
-        pf_strat_t=pf_strat_t, const_vecs=const_vecs,
+        tropo_cat=tropo_cat, strat_cat=strat_cat, sf_cat=sf_cat,
+        minor_cat=minor_cat, pf_cat=pf_cat,
+        tropo_fold=_fold_table(tropo_cat),
+        strat_fold=_fold_table(strat_cat),
+        sf_fold=_fold_table(sf_cat),
+        minor_fold=_fold_table(minor_cat),
+        pf_fold=_fold_table(pf_cat),
+        const_vecs=const_vecs,
         pf_a_const=pf_a_const[:, None], pf_b_const=pf_b_const[:, None],
         meta=meta)
     _CACHE[id(t)] = fd
@@ -344,33 +380,48 @@ def _dot_p(a, b, precision):
         preferred_element_type=jnp.float32)
 
 
-def _dot(a, b, in_pallas=False):
-    """Class matmul for the fused kernels.
+def _dot_fold(tab_fold, b):
+    """Exact bf16x2 3-pass product as ONE MXU matmul.
 
-    in_pallas=True (the Mosaic-traced kernel bodies, default "3pass"):
-    manual bf16x2 split of both operands, three DEFAULT-precision MXU
-    passes with f32 accumulation — ~16 mantissa bits (measured 3.7e-4
-    max / 5e-5 p99.9 rel on tau vs HIGHEST; end-to-end flux error vs
-    the reference golden unchanged) at ~60% of HIGHEST's cost (LW
-    kernel 10.75 -> 6.3 ms; Mosaic supports only DEFAULT/HIGHEST, so
-    lax.Precision.HIGH is unavailable in Pallas).
+    The f32 table is pre-split offline as [hi | lo | hi] bfloat16
+    (_fold_table) and the per-cell operand stacked [b_hi; b_hi; b_lo],
+    so  a_hi@b_hi + a_lo@b_hi + a_hi@b_lo  accumulates in a single f32
+    MXU chain. Measured vs the 3 separate VPU-summed passes of round
+    2: ~1.4x faster (the MXU pads k to 128, so the tripled k of the
+    small continuum/minor/Planck-fraction tables rides the padding for
+    free) AND more accurate (1.8e-6 rel vs HIGHEST on random tables —
+    one f32 accumulation chain instead of three rounded partials)."""
+    k = tab_fold.shape[1] // 3
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(b.dtype)).astype(jnp.bfloat16)
+    bc = jnp.concatenate([b_hi, b_hi, b_lo], axis=0)
+    return jax.lax.dot_general(
+        tab_fold, bc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
 
-    in_pallas=False (the jnp fallback path): native HIGHEST — the
-    3-pass emulation is only faithful under Mosaic; plain XLA's
-    algebraic simplifier merges the split dots back into bf16-quality
+
+def _make_dot(tabs, in_pallas):
+    """Returns dot(name, w): the class matmul against table `name`.
+
+    in_pallas (the Mosaic kernel bodies, default "3pass"): _dot_fold
+    against the pre-folded bf16 tables — ~16 mantissa bits (measured
+    3.7e-4 max / 5e-5 p99.9 rel on tau vs HIGHEST; end-to-end flux
+    error vs the reference golden unchanged).
+
+    Fallback (plain XLA): native HIGHEST f32 against the f32 tables —
+    the bf16x2 emulation is only faithful under Mosaic; XLA's
+    algebraic simplifier merges split dots back into bf16-quality
     products (measured 2.7e-2 rel).
-    ECRAD_TAUMOL_PRECISION=highest|default overrides."""
-    if not in_pallas or _PREC_NAME == "highest":
-        return _dot_p(a, b, jax.lax.Precision.HIGHEST)
-    if _PREC_NAME == "default":
-        return _dot_p(a, b, jax.lax.Precision.DEFAULT)
-    a_hi = (a.astype(jnp.bfloat16)).astype(jnp.float32)
-    b_hi = (b.astype(jnp.bfloat16)).astype(jnp.float32)
-    a_lo = a - a_hi
-    b_lo = b - b_hi
-    d = jax.lax.Precision.DEFAULT
-    return (_dot_p(a_hi, b_hi, d) + _dot_p(a_hi, b_lo, d)
-            + _dot_p(a_lo, b_hi, d))
+    ECRAD_TAUMOL_PRECISION=highest|default overrides the kernel path
+    (both run against the f32 tables)."""
+    if in_pallas and _PREC_NAME == "3pass":
+        return lambda name, w: _dot_fold(tabs[name + "_fold"], w)
+    if in_pallas and _PREC_NAME == "default":
+        return lambda name, w: _dot_p(tabs[name + "_cat"], w,
+                                      jax.lax.Precision.DEFAULT)
+    return lambda name, w: _dot_p(tabs[name + "_cat"], w,
+                                  jax.lax.Precision.HIGHEST)
 
 
 def _eta_index(specparm, mult):
@@ -429,7 +480,7 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     XLA (the CPU path / equivalence tests); in_pallas selects the
     matmul precision strategy (see _dot).
     """
-    dot = functools.partial(_dot, in_pallas=in_pallas)
+    dot = _make_dot(tabs, in_pallas)
     tile = fc.shape[1]
 
     def f(name):
@@ -467,22 +518,35 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     W_minor = _onehot_rows(19, [(indminor - 1, 1.0 - mfrac),
                                 (indminor, mfrac)], tile)
 
+    pavel = f("pavel")
+    corradj1 = jnp.where(tropf > 0.0,
+                         jnp.where(pavel < 250.0,
+                                   1.0 - 0.15 * (250.0 - pavel) / 154.4,
+                                   1.0),
+                         1.0 - 0.15 * (pavel / 95.6))
+    corradj2 = 1.0 - 0.05 * (pavel - 100.0) / 900.0
+    wa2 = jnp.where(tropf > 0.0, corradj2, 1.0)
+
     # ---- the class matmuls ---------------------------------------------
-    M_t0 = dot(tabs["tropo_cat"], A_t0)     # (828, tile)
-    M_t1 = dot(tabs["tropo_cat"], A_t1)
-    M_s0 = dot(tabs["strat_cat"], A_s0)     # (302, tile)
-    M_s1 = dot(tabs["strat_cat"], A_s1)
-    self_c = dot(tabs["self_t"], W_self)    # (140, tile)
-    for_c = (dot(tabs["for_ung_t"], W_for)
-             + dot(tabs["for_gated_t"], W_for * tropf))
-    M_minor = dot(tabs["minor_t"], W_minor)      # (112, tile)
-    M_meta = dot(tabs["minor_eta_t"], W_minor)   # (638, tile)
+    M_t0 = dot("tropo", A_t0)               # (828, tile)
+    M_t1 = dot("tropo", A_t1)
+    M_s0 = dot("strat", A_s0)               # (302, tile)
+    M_s1 = dot("strat", A_s1)
+    # self + foreign continuum in one product; the band-2 corradj2/wa2
+    # row corrections ride as extra weight rows against the band-2-only
+    # table copies (see build_lw_fused)
+    W_sf = jnp.concatenate([
+        W_self, W_self * (corradj2 - 1.0),
+        W_for, W_for * (wa2 - 1.0), W_for * tropf], axis=0)
+    sf_c = dot("sf", W_sf)                  # (140, tile)
+    M_all = dot("minor", W_minor)           # (750, tile)
+    M_minor = M_all[:112]
+    M_meta = M_all[112:]
 
     # ---- per-cell columns & adjustments --------------------------------
     colh2o, colco2, colo3 = f("colh2o"), f("colco2"), f("colo3")
     coln2o, colch4, colo2 = f("coln2o"), f("colch4"), f("colo2")
     colbrd, coldry = f("colbrd"), f("coldry")
-    pavel = f("pavel")
     chi_co2, chi_n2o = f("chi_co2"), f("chi_n2o")
     ch = meta["chi"]
 
@@ -496,14 +560,6 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     scalen2 = colbrd * f("scaleminorn2")
     scaleo2 = colo2 * f("scaleminor")
     scalen2_15 = colbrd * f("scaleminor")
-
-    corradj1 = jnp.where(tropf > 0.0,
-                         jnp.where(pavel < 250.0,
-                                   1.0 - 0.15 * (250.0 - pavel) / 154.4,
-                                   1.0),
-                         1.0 - 0.15 * (pavel / 95.6))
-    corradj2 = 1.0 - 0.05 * (pavel - 100.0) / 900.0
-    wa2 = jnp.where(tropf > 0.0, corradj2, 1.0)
 
     # tropo major column amounts / speccombs per band ---------------------
     # (col1, col2, rat0_name, rat1_name) for eta bands
@@ -627,17 +683,9 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
 
     tau = jnp.concatenate(pieces, axis=0)          # (140, tile)
 
-    # self + foreign, with band-2 per-cell corrections on its rows
-    o2, n2 = G_OFF[1], G_OFF[2]
-    sf_scale = jnp.concatenate([
-        jnp.broadcast_to(1.0, (o2, tile)),
-        jnp.broadcast_to(corradj2, (n2 - o2, tile)),
-        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
-    for_scale = jnp.concatenate([
-        jnp.broadcast_to(1.0, (o2, tile)),
-        jnp.broadcast_to(wa2, (n2 - o2, tile)),
-        jnp.broadcast_to(1.0, (140 - n2, tile))], axis=0)
-    tau = tau + self_c * sf_scale + for_c * for_scale
+    # self + foreign continuum (band-2 corrections already inside the
+    # merged sf product's extra weight rows)
+    tau = tau + sf_c
 
     # constant cross-sections: ccl4, cfc11, cfc12, cfc22 ((140, 4) cols)
     cv = tabs["const_vecs"]
@@ -675,7 +723,6 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
             9, [(jpl, tropf * (1.0 - fpl)), (jpl + 1, tropf * fpl)],
             tile))
     W_pf = jnp.concatenate(wp_blocks, axis=0)      # (81, tile)
-    pfrac = pfrac + dot(tabs["pf_tropo_t"], W_pf)
 
     pf_strat_args = {
         3: (colh2o, ch["pf3_b"], colco2),
@@ -690,14 +737,24 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
             5, [(jplb, stratf * (1.0 - fplb)), (jplb + 1, stratf * fplb)],
             tile))
     W_pfs = jnp.concatenate(wps_blocks, axis=0)    # (15, tile)
-    pfrac = pfrac + dot(tabs["pf_strat_t"], W_pfs)
+    pfrac = pfrac + dot("pf", jnp.concatenate([W_pf, W_pfs], axis=0))
 
     return tau, pfrac
 
 
-TAB_FIELDS = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
-              "for_gated_t", "minor_t", "minor_eta_t", "pf_tropo_t",
-              "pf_strat_t", "const_vecs", "pf_a_const", "pf_b_const"]
+_CONST_FIELDS = ["const_vecs", "pf_a_const", "pf_b_const"]
+_MATMUL_NAMES = ["tropo", "strat", "sf", "minor", "pf"]
+
+
+def _kernel_tab_fields(matmul_names, const_fields):
+    """Tables the Pallas kernel ships to VMEM: only the form the active
+    precision mode reads (folded bf16 for "3pass", f32 otherwise)."""
+    suffix = "_fold" if _PREC_NAME == "3pass" else "_cat"
+    return [n + suffix for n in matmul_names] + const_fields
+
+
+# the default ("3pass") kernel VMEM set, also used by tools/roofline.py
+TAB_FIELDS = _kernel_tab_fields(_MATMUL_NAMES, _CONST_FIELDS)
 
 
 def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
@@ -713,11 +770,12 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
         import os
         tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
     n = fc.shape[1]
-    tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS}
     if not use_pallas:
-        tabs = {k: jnp.asarray(v) for k, v in tabs_np.items()}
+        tabs = {k: jnp.asarray(getattr(fd, k))
+                for k in fd._fields if k != "meta"}
         tau, pfrac = lw_fused_body(fc, ic, tabs, fd.meta)
         return (tau.T, pfrac.T) if cell_major else (tau, pfrac)
+    tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS}
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .setcoef import Coeffs
-from .taumol_lw_fused import _dot, _eta_index, _onehot_rows
+from .taumol_lw_fused import (_eta_index, _fold_table, _make_dot,
+                              _onehot_rows)
 
 F32 = np.float32
 
@@ -57,14 +58,19 @@ O2ADJ = 1.6
 
 
 class SwFusedTables(NamedTuple):
+    """*_cat f32 for the HIGHEST fallback; *_fold pre-split [hi|lo|hi]
+    bf16 for the in-kernel single-matmul 3-pass (see taumol_lw_fused
+    _dot_fold/_make_dot)."""
     tropo_cat: np.ndarray      # (rows, 65)
     strat_cat: np.ndarray      # (rows, 235)
-    self_t: np.ndarray         # (112, 10)
-    for_ung_t: np.ndarray      # (112, 4)
-    for_gated_t: np.ndarray    # (112, 4)
+    sf_cat: np.ndarray         # (112, 18): self | for_ung | for_gated
+    rayl24_cat: np.ndarray     # (112, 9): band-24 tropo rayleigh placed
+    tropo_fold: np.ndarray     # (rows, 195) bf16
+    strat_fold: np.ndarray     # (rows, 705) bf16
+    sf_fold: np.ndarray        # (112, 54) bf16
+    rayl24_fold: np.ndarray    # (112, 27) bf16
     const_vecs: np.ndarray     # (112, n_const)
     rayl_vec: np.ndarray       # (112, 1): per-g coeff, 0 for band 24
-    rayl24_t: np.ndarray       # (8, 9) band-24 tropo rayleigh
     rayl24_b: np.ndarray       # (112, 1) band-24 raylb placed
     meta: dict
 
@@ -147,9 +153,10 @@ def build_sw_fused(t) -> SwFusedTables:
         o, ng = G_OFF_SW[b], NG_SW[b]
         r = np.asarray(t[f"sw{b}_rayl"], F32)
         rayl_vec[o:o + ng] = r if r.ndim else np.full(ng, float(r), F32)
-    rayl24_t = np.asarray(t["sw24_rayla"], F32)   # (8, 9)
-    rayl24_b = np.zeros(112, F32)
+    rayl24_cat = np.zeros((112, 9), F32)
     o = G_OFF_SW[24]
+    rayl24_cat[o:o + 8, :] = np.asarray(t["sw24_rayla"], F32)
+    rayl24_b = np.zeros(112, F32)
     rayl24_b[o:o + 8] = np.asarray(t["sw24_raylb"], F32)
 
     meta["strrat"] = {
@@ -160,11 +167,16 @@ def build_sw_fused(t) -> SwFusedTables:
     }
     meta["givfac23"] = float(t["sw23_givfac"])
 
+    sf_cat = np.concatenate([self_t, for_ung_t, for_gated_t], axis=1)
     fd = SwFusedTables(
-        tropo_cat=tropo_cat, strat_cat=strat_cat, self_t=self_t,
-        for_ung_t=for_ung_t, for_gated_t=for_gated_t,
+        tropo_cat=tropo_cat, strat_cat=strat_cat, sf_cat=sf_cat,
+        rayl24_cat=rayl24_cat,
+        tropo_fold=_fold_table(tropo_cat),
+        strat_fold=_fold_table(strat_cat),
+        sf_fold=_fold_table(sf_cat),
+        rayl24_fold=_fold_table(rayl24_cat),
         const_vecs=const_vecs, rayl_vec=rayl_vec[:, None],
-        rayl24_t=rayl24_t, rayl24_b=rayl24_b[:, None], meta=meta)
+        rayl24_b=rayl24_b[:, None], meta=meta)
     _CACHE[id(t)] = fd
     return fd
 
@@ -212,8 +224,8 @@ def _eta_cols(f, band):
 
 def sw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     """(taug, taur), each (112, tile); in_pallas selects the matmul
-    precision strategy (see taumol_lw_fused._dot)."""
-    dot = functools.partial(_dot, in_pallas=in_pallas)
+    precision strategy (see taumol_lw_fused._make_dot)."""
+    dot = _make_dot(tabs, in_pallas)
     tile = fc.shape[1]
 
     def f(name):
@@ -247,11 +259,10 @@ def sw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     W_for = _onehot_rows(4, [(indfor - 1, ff * (1.0 - ffrac)),
                              (indfor, ff * ffrac)], tile)
 
-    M_t = dot(tabs["tropo_cat"], A_t)
-    M_s = dot(tabs["strat_cat"], A_s)
-    taug = (dot(tabs["self_t"], W_self)
-            + dot(tabs["for_ung_t"], W_for)
-            + dot(tabs["for_gated_t"], W_for * tropf))
+    M_t = dot("tropo", A_t)
+    M_s = dot("strat", A_s)
+    taug = dot("sf", jnp.concatenate(
+        [W_self, W_for, W_for * tropf], axis=0))
 
     noeta_w = {20: f("colh2o"), 23: meta["givfac23"] * f("colh2o"),
                25: f("colh2o"), 27: f("colo3"), 29: f("colh2o")}
@@ -316,18 +327,18 @@ def sw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     wmol = tropf * colmol
     W24 = _onehot_rows(9, [(js, wmol * (1.0 - fs)),
                            (js + 1, wmol * fs)], tile)
-    r24 = dot(tabs["rayl24_t"], W24)             # (8, tile)
-    o24 = G_OFF_SW[24]
-    taur = taur + jnp.concatenate([
-        jnp.zeros((o24, tile), jnp.float32), r24,
-        jnp.zeros((112 - o24 - 8, tile), jnp.float32)], axis=0)
+    # band-24 rows are placed inside the (112, 9) table, so the product
+    # lands directly on the full taur rows (zero rows add exact 0.0)
+    taur = taur + dot("rayl24", W24)
 
     return taug, taur
 
 
-TAB_FIELDS_SW = ["tropo_cat", "strat_cat", "self_t", "for_ung_t",
-                 "for_gated_t", "const_vecs", "rayl_vec", "rayl24_t",
-                 "rayl24_b"]
+from .taumol_lw_fused import _kernel_tab_fields
+
+TAB_FIELDS_SW = _kernel_tab_fields(
+    ["tropo", "strat", "sf", "rayl24"],
+    ["const_vecs", "rayl_vec", "rayl24_b"])
 
 
 def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
@@ -338,11 +349,12 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
         import os
         tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
     n = fc.shape[1]
-    tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS_SW}
     if not use_pallas:
-        tabs = {k: jnp.asarray(v) for k, v in tabs_np.items()}
+        tabs = {k: jnp.asarray(getattr(fd, k))
+                for k in fd._fields if k != "meta"}
         taug, taur = sw_fused_body(fc, ic, tabs, fd.meta)
         return (taug.T, taur.T) if cell_major else (taug, taur)
+    tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS_SW}
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

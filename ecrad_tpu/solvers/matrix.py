@@ -116,11 +116,16 @@ def solve_vec_g(A, x):
     return solve_g(A, x[:, None])[:, 0]
 
 
-def expm_g(A):
+def expm_g(A, fixed_squarings=None):
     """Matrix exponential with leading matrix dims: A (m, m, *batch).
 
     Same scaling-and-squaring Pade-7 as expm (radiation_matrix.F90
-    :1118-1216), in the padding-free layout."""
+    :1118-1216), in the padding-free layout.
+
+    fixed_squarings: run exactly that many masked squaring steps
+    (static fori_loop) instead of a while_loop to the batch max —
+    required inside Pallas kernels, and correct whenever the caller
+    can bound the 1-norm (per-lane masking makes extra steps no-ops)."""
     m = A.shape[0]
     norm1 = jnp.abs(A).sum(axis=0).max(axis=0)     # (*batch,)
     ratio = norm1 / _THETA3
@@ -144,6 +149,13 @@ def expm_g(A):
     V = add_eye(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
     P = add_eye(solve_g(V - U, 2.0 * U), 1.0)
 
+    def body(k, M):
+        return jnp.where(k < expo, mm_g(M, M), M)
+
+    if fixed_squarings is not None:
+        return jax.lax.fori_loop(0, fixed_squarings, body, P,
+                                 unroll=True)
+
     # early-exit squaring: SPARTACUS operators rarely need more than a
     # few squarings (od and transfer rates are capped), so loop to the
     # batch maximum instead of the worst-case bound
@@ -153,12 +165,11 @@ def expm_g(A):
         k, _ = state
         return k < expo_max
 
-    def body(state):
+    def wbody(state):
         k, M = state
-        M = jnp.where(k < expo, mm_g(M, M), M)
-        return k + 1, M
+        return k + 1, body(k, M)
 
-    _, P = jax.lax.while_loop(cond, body, (jnp.int32(0), P))
+    _, P = jax.lax.while_loop(cond, wbody, (jnp.int32(0), P))
     return P
 
 
@@ -171,10 +182,11 @@ def _expm_exchange_2_entries(a, b):
     return [[r11, r12], [r21, r22]]
 
 
-def expm_sw_g(M, C, D):
+def expm_sw_g(M, C, D, fixed_squarings=None):
     """expm of the block-upper-triangular [[M, C], [0, D]] in the
     g-minor layout: M (2n, 2n, *batch) diffuse block, C (2n, n, *batch)
     direct->diffuse coupling, D (n, n, *batch) direct block.
+    fixed_squarings: see expm_g.
 
     The SPARTACUS SW Gamma matrix has exactly this sparsity (direct beam
     feeds diffuse but not vice versa; reference radiation_matrix.F90

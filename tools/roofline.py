@@ -65,7 +65,13 @@ def trace_device_events(fn, args, tag):
 
 
 def taumol_kernel_ceilings(ncell):
-    """Analytic (bytes, flops) per fused taumol kernel launch."""
+    """Analytic (bytes, bf16_flops) per fused taumol kernel launch.
+
+    The class matmuls run as single folded bf16 products against the
+    *_fold tables (taumol_lw_fused._dot_fold); the MXU pads the
+    contraction dim to 128 multiples, so the ceiling counts padded-k
+    bf16 FLOPs at the bf16 peak. Per-table use counts: the LW tropo/
+    strat tables are multiplied by BOTH temperature-family one-hots."""
     from ecrad_tpu.optics.rrtmg.gas_optics import load_tables
     from ecrad_tpu.optics.rrtmg import taumol_lw_fused as lwf
     from ecrad_tpu.optics.rrtmg import taumol_sw_fused as swf
@@ -74,21 +80,27 @@ def taumol_kernel_ceilings(ncell):
     fdl = lwf.build_lw_fused(t)
     fds = swf.build_sw_fused(t)
 
-    def kernel_cost(fd, tab_fields, nf, ni, ng_out, nout):
+    def kernel_cost(fd, tab_fields, uses, nf, ni, ng_out, nout):
         tables = sum(np.asarray(getattr(fd, k)).nbytes
                      for k in tab_fields)
         bytes_ = ncell * 4 * (nf + ni + ng_out * nout) + tables
         flops = 0
-        for k in tab_fields:
+        for k, n_uses in uses.items():
             v = np.asarray(getattr(fd, k))
-            if v.ndim == 2 and v.shape[1] > 4:     # a class matmul table
-                flops += 2 * v.shape[0] * v.shape[1] * ncell
+            kpad = -(-v.shape[1] // 128) * 128
+            flops += 2 * v.shape[0] * kpad * ncell * n_uses
         return bytes_, flops
 
-    lw = kernel_cost(fdl, lwf.TAB_FIELDS, len(lwf.F_FIELDS),
-                     len(lwf.I_FIELDS), 140, 2)
-    sw = kernel_cost(fds, swf.TAB_FIELDS_SW, len(swf.F_FIELDS_SW),
-                     len(swf.I_FIELDS_SW), 112, 2)
+    lw = kernel_cost(
+        fdl, lwf.TAB_FIELDS,
+        {"tropo_fold": 2, "strat_fold": 2, "sf_fold": 1,
+         "minor_fold": 1, "pf_fold": 1},
+        len(lwf.F_FIELDS), len(lwf.I_FIELDS), 140, 2)
+    sw = kernel_cost(
+        fds, swf.TAB_FIELDS_SW,
+        {"tropo_fold": 1, "strat_fold": 1, "sf_fold": 1,
+         "rayl24_fold": 1},
+        len(swf.F_FIELDS_SW), len(swf.I_FIELDS_SW), 112, 2)
     return {"taumol_lw_fused": lw, "taumol_sw_fused": sw}
 
 
@@ -140,13 +152,13 @@ def main():
         if dur_us == 0:      # kernel path not taken (CPU etc.)
             continue
         t_mem = nbytes / (peak_gbs * 1e9)
-        t_mxu = flops / (mxu_f32 * 1e12)
+        t_mxu = flops / (peak_tflops * 1e12)    # bf16 padded-k flops
         bound = max(t_mem, t_mxu)
         results[kname] = {
             "time_ms": round(dur_us / 1e3, 3),
             "analytic_gb": round(nbytes / 1e9, 3),
-            "analytic_gflop_mxu": round(flops / 1e9, 1),
-            "binding_ceiling": "mxu_f32" if t_mxu > t_mem else "memory",
+            "analytic_gflop_bf16_padded": round(flops / 1e9, 1),
+            "binding_ceiling": "mxu_bf16" if t_mxu > t_mem else "memory",
             "roofline_fraction": round(bound / (dur_us / 1e6), 3),
         }
 
