@@ -1,0 +1,591 @@
+"""Fused SPARTACUS per-layer reflectance/transmittance Pallas kernels.
+
+The Gamma assembly -> Pade-7 matrix exponential -> reflectance/
+transmittance solve pipeline was the binding cost of both SPARTACUS
+solvers when expressed as XLA ops inside the level scan: every one of
+the ~40 HLO fusions in the chain round-trips its (6, 6, ng, ncol)
+operands through HBM (~0.55 GB per cloudy level; 56 ms of the 143 ms
+SW solver at 512 columns, measured with tools/profile_ops.py). Inside
+one Pallas kernel the whole pipeline lives in VMEM: HBM traffic
+collapses to the packed per-cell inputs and the stacked output rows
+(one read + one write per cell), and the expm squarings become pure
+VPU compute with a STATIC count derived from the capped Gamma norms
+(od <= max_cloud_od, transfer rates <= max_3d_transfer_rate, od/mu0
+<= MAX_OD_OVER_MU0_3D), so no data-dependent while_loop is needed.
+
+The kernels also evaluate the Meador-Weaver fallback and perform the
+use3d / clear-layer selection, so the sequential adding scans consume
+finished R/T/(RD/TD/TDD | SU/SD) histories. Grid: (nlev, cell tiles);
+a tile with no 3D-treated point skips the expm pipeline (pl.when) and
+only pays the elementwise fallback — preserving the per-level
+adaptivity that made level-blocked XLA variants lose (CLAUDE.md).
+
+Reference parity: radiation_spartacus_sw.F90:708-830 (Gamma assembly
++ expm -> reftrans), radiation_matrix.F90:1222-1333 (block-triangular
+expm sparsity), radiation_spartacus_lw.F90:636-712 (LW Gamma +
+particular solution). The CPU path calls the same cell functions as
+plain jnp inside the level scan; kernel-vs-fallback equivalence is
+asserted by tools/check_kernel_equivalence.py on hardware.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers import two_stream as ts
+from ..solvers.matrix import (_THETA3, add_eye_g, expm_g, expm_sw_g,
+                              mm_gu, mv_gu, solve_g, solve_vec_g)
+
+# Cap on od/mu0 entering the Gamma direct block. exp(-60) = 8.8e-27 —
+# zero at f32 flux resolution — but an uncapped diagonal (od/mu0 can
+# reach ~1e11 near the terminator; mu0 is clamped at 1e-10) drives the
+# 1-norm-based squaring count in expm to its bound for the whole
+# batch: masked lanes still pay each squaring's block products.
+MAX_OD_OVER_MU0_3D = 60.0
+
+LW_DIFFUSIVITY = 1.66
+_TILE = 1024
+
+
+def _diag_g(x, nreg):
+    """(nreg, *batch) vector -> diagonal matrices (nreg, nreg, *batch)."""
+    zero = jnp.zeros_like(x[0])
+    return jnp.stack([
+        jnp.stack([x[i] if i == j else zero for j in range(nreg)], axis=0)
+        for i in range(nreg)], axis=0)
+
+
+def _zero_offdiag_clear(M, is_clear):
+    """Zero all but the (0,0) entry where is_clear (broadcast batch)."""
+    m = M.shape[0]
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(m):
+            if i == 0 and j == 0:
+                cols.append(M[0, 0])
+            else:
+                cols.append(jnp.where(is_clear, 0.0, M[i, j]))
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _zero_cloudy_vec(x, is_clear):
+    return jnp.concatenate(
+        [x[:1]] + [jnp.where(is_clear, 0.0, x[i:i + 1])
+                   for i in range(1, x.shape[0])], axis=0)
+
+
+def sw_fixed_squarings(cfg) -> int:
+    """Static Pade squaring count from the capped SW Gamma 1-norm."""
+    mc = float(cfg.max_cloud_od)
+    mt = float(cfg.max_3d_transfer_rate)
+    bound = max(2.0 * mc + 4.0 * mt, MAX_OD_OVER_MU0_3D + mc + 2.0 * mt)
+    return max(0, math.ceil(math.log2(bound / _THETA3)))
+
+
+def lw_fixed_squarings(cfg) -> int:
+    """Static Pade squaring count from the capped LW Gamma 1-norm."""
+    mc = float(cfg.max_cloud_od)
+    mt = float(cfg.max_3d_transfer_rate)
+    bound = (LW_DIFFUSIVITY + 0.83) * mc + 2.0 * 1.4107 * mt
+    return max(0, math.ceil(math.log2(bound / _THETA3)))
+
+
+# =========================================================================
+# Shortwave
+# =========================================================================
+
+def sw_gamma_expm(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
+                  use3d, fixed_squarings=None):
+    """Region-coupled SW reflectance/transmittance matrices.
+
+    Inputs: od_rg/ssa_rg/g_rg (nreg, *batch); trd/trf (nreg, nreg,
+    *batch-broadcastable); mu0 broadcastable against *batch; use3d
+    (*batch). Region-0 od must already be capped at max_gas_od_3d.
+    Returns 5 matrices (nreg, nreg, *batch). Reference :708-830.
+
+    use3d: where False the caller discards this result in favour of
+    the Meador-Weaver fallback, so Gamma is zeroed there (expm(0)=I),
+    keeping the squaring count at the max over 3D-treated points only
+    (mirrors the reference's ng3D prefix)."""
+    dtype = od_rg.dtype
+    one_over_mu0 = 1.0 / mu0
+    gamma1, gamma2, gamma3 = ts.sw_gammas(mu0, ssa_rg, g_rg)
+
+    n3 = 3 * nreg
+    batch = od_rg.shape[1:]
+    rows = [[jnp.zeros(batch, dtype) for _ in range(n3)]
+            for _ in range(n3)]
+
+    def add(i, j, val):
+        rows[i][j] = rows[i][j] + val
+
+    for r in range(nreg):
+        add(r, r, od_rg[r] * gamma1[r])
+        add(nreg + r, r, od_rg[r] * gamma2[r])
+        add(r, 2 * nreg + r, -od_rg[r] * ssa_rg[r] * gamma3[r])
+        add(nreg + r, 2 * nreg + r,
+            od_rg[r] * ssa_rg[r] * (1.0 - gamma3[r]))
+        add(2 * nreg + r, 2 * nreg + r,
+            -jnp.minimum(od_rg[r] * one_over_mu0, MAX_OD_OVER_MU0_3D))
+    for r in range(nreg - 1):
+        add(r, r, trf[r, r + 1])
+        add(r + 1, r + 1, trf[r + 1, r])
+        add(r + 1, r, -trf[r, r + 1])
+        add(r, r + 1, -trf[r + 1, r])
+        add(2 * nreg + r, 2 * nreg + r, -trd[r, r + 1])
+        add(2 * nreg + r + 1, 2 * nreg + r + 1, -trd[r + 1, r])
+        add(2 * nreg + r + 1, 2 * nreg + r, trd[r, r + 1])
+        add(2 * nreg + r, 2 * nreg + r + 1, trd[r + 1, r])
+    if nreg == 3:
+        add(0, 0, trf[0, 2])
+        add(2, 2, trf[2, 0])
+        add(2, 0, -trf[0, 2])
+        add(0, 2, -trf[2, 0])
+        add(2 * nreg, 2 * nreg, -trd[0, 2])
+        add(2 * nreg + 2, 2 * nreg + 2, -trd[2, 0])
+        add(2 * nreg + 2, 2 * nreg, trd[0, 2])
+        add(2 * nreg, 2 * nreg + 2, trd[2, 0])
+    # antisymmetric blocks
+    for i in range(nreg):
+        for j in range(nreg):
+            rows[nreg + i][nreg + j] = -rows[i][j]
+            rows[i][nreg + j] = -rows[nreg + i][j]
+    # Gamma is block-upper-triangular [[M, C], [0, D]]: exponentiate
+    # blockwise (matrix.py expm_sw_g; the reference's expm_opt).
+    n2 = 2 * nreg
+    Gm = jnp.stack([jnp.stack(rows[i][:n2], axis=0) for i in range(n2)],
+                   axis=0)
+    Gc = jnp.stack([jnp.stack(rows[i][n2:], axis=0) for i in range(n2)],
+                   axis=0)
+    Gd = jnp.stack([jnp.stack(rows[n2 + i][n2:], axis=0)
+                    for i in range(nreg)], axis=0)
+    if use3d is not None:
+        Gm = jnp.where(use3d, Gm, 0.0)
+        Gc = jnp.where(use3d, Gc, 0.0)
+        Gd = jnp.where(use3d, Gd, 0.0)
+
+    Em, Ec, Ed = expm_sw_g(Gm, Gc, Gd, fixed_squarings=fixed_squarings)
+    tdd = jnp.clip(Ed, 0.0, 1.0)
+    A = Em[:nreg, :nreg]
+    B = Em[:nreg, nreg:]
+    C = Ec[:nreg]
+    # one LU factorization of A for both right-hand-side families
+    X = solve_g(A, jnp.concatenate([B, C], axis=1))
+    ref = jnp.clip(-X[:, :nreg], 0.0, 1.0)
+    refdir = jnp.clip(-X[:, nreg:], 0.0, mu0)
+    trans = jnp.clip(mm_gu(Em[nreg:, :nreg], ref) + Em[nreg:, nreg:],
+                     0.0, 1.0)
+    tdiff = jnp.clip(mm_gu(Em[nreg:, :nreg], refdir) + Ec[nreg:],
+                     0.0, mu0)
+    return ref, trans, refdir, tdiff, tdd
+
+
+def _sw_mw_diag(nreg, mu0, od, ssa, g):
+    """Meador-Weaver fallback as diagonal region matrices."""
+    g1, g2, g3 = ts.sw_gammas(mu0, ssa, g)
+    rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(mu0, od, ssa, g1, g2, g3)
+    return tuple(_diag_g(x, nreg) for x in (rmw, tmw, rdmw, tdmw, tddmw))
+
+
+# packed SW input rows: 3 od + 3 ssa + 3 g + 6 trd + 6 trf + mu0 +
+# use3d + clear
+SW_NF = 24
+SW_NOUT = 45
+_OFFD = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+
+
+def _sw_cells(fc, nreg, cfg, fixed_sq):
+    """Full per-cell SW pipeline on a packed (SW_NF, B) tile; returns
+    the (SW_NOUT, B) stacked output rows."""
+    od = fc[0:3]
+    ssa = fc[3:6]
+    gg = fc[6:9]
+
+    def offd(base):
+        m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
+        for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3
+                                         else 2]):
+            m[i][j] = fc[base + k]
+        return jnp.stack([jnp.stack(r, 0) for r in m], 0)
+
+    trd = offd(9)
+    trf = offd(15)
+    mu0 = fc[21]
+    use3d = fc[22] > 0.5
+    clear = fc[23] > 0.5
+
+    od_capped = jnp.concatenate(
+        [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
+
+    mw = _sw_mw_diag(nreg, mu0, od, ssa, gg)
+
+    def full(_):
+        f3 = sw_gamma_expm(cfg, nreg, mu0, od_capped, ssa, gg, trd,
+                           trf, use3d, fixed_squarings=fixed_sq)
+        return tuple(jnp.where(use3d, a, b) for a, b in zip(f3, mw))
+
+    def skip(_):
+        return mw
+
+    # a tile/level with no 3D point skips the whole expm pipeline
+    out5 = jax.lax.cond(jnp.any(use3d), full, skip, None)
+    out5 = tuple(_zero_offdiag_clear(M, clear) for M in out5)
+    # explicit stack, not reshape: Mosaic cannot merge a leading dim
+    # into the sublane axis
+    return jnp.stack([M[i, j] for M in out5
+                      for i in range(nreg) for j in range(nreg)], axis=0)
+
+
+def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
+                       use3d_g, clear_g, use_pallas):
+    """All-levels SW reflectance/transmittance histories.
+
+    od_r/ssa_r/g_r: (nlev, nreg, ng, ncol) (od region 0 uncapped —
+    capping for the Gamma path happens inside); trd_g/trf_g: (nlev,
+    nreg, nreg, 1, ncol); mu0 (ncol,); use3d_g (nlev, ng, ncol) bool;
+    clear_g (nlev, ncol) bool. Returns (R, T, RD, TD, TDD) each
+    (nlev, nreg, nreg, ng, ncol)."""
+    nlev, _, ng, ncol = od_r.shape
+    n = ng * ncol
+    fixed_sq = sw_fixed_squarings(cfg)
+
+    if not use_pallas:
+        # plain jnp, one level at a time inside a scan (keeps CPU
+        # memory bounded; the cell math is identical to the kernel's)
+        def body(_, xs):
+            od_l, ssa_l, g_l, trd_l, trf_l, u3_l, cl_l = xs
+            fc = _pack_sw(od_l[None], ssa_l[None], g_l[None],
+                          trd_l[None], trf_l[None], mu0, u3_l[None],
+                          cl_l[None], ng, ncol)[0]
+            out = _sw_cells(fc, nreg, cfg, None)
+            return None, out.reshape(SW_NOUT, ng, ncol)
+
+        _, hist = jax.lax.scan(
+            body, None, (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g,
+                         clear_g))
+        return _unpack_sw(hist, nreg)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fc = _pack_sw(od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g,
+                  clear_g, ng, ncol)
+    n_pad = -(-n // _TILE) * _TILE
+    if n_pad != n:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, n_pad - n)))
+    # batch as 2-D (sublane, lane) tiles: a rank-1 (TILE,) vector
+    # occupies 1 of 8 sublanes per vreg — 8x VPU waste
+    rows = _TILE // 128
+    fc = fc.reshape(nlev, SW_NF, n_pad // 128, 128)
+
+    def kernel(fc_ref, out_ref):
+        out_ref[0] = _sw_cells(fc_ref[0], nreg, cfg, fixed_sq)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nlev, n_pad // _TILE),
+        in_specs=[pl.BlockSpec((1, SW_NF, rows, 128),
+                               lambda l, c: (l, 0, c, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, SW_NOUT, rows, 128),
+                               lambda l, c: (l, 0, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (nlev, SW_NOUT, n_pad // 128, 128), jnp.float32),
+    )(fc)
+    out = out.reshape(nlev, SW_NOUT, n_pad)
+    return _unpack_sw(out[:, :, :n].reshape(nlev, SW_NOUT, ng, ncol),
+                      nreg)
+
+
+def _pack_sw(od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g, clear_g,
+             ng, ncol):
+    """(nlev, SW_NF, ng*ncol) packed kernel input."""
+    nlev = od_r.shape[0]
+    n = ng * ncol
+
+    def cell(x):                       # (nlev, k, ng, ncol) -> rows
+        return x.reshape(nlev, -1, n)
+
+    def bcol(x):                       # (nlev, ncol) -> one row
+        return jnp.broadcast_to(x[:, None, None, :],
+                                (nlev, 1, ng, ncol)).reshape(nlev, 1, n)
+
+    rows = [cell(od_r), cell(ssa_r), cell(g_r)]
+    noff = len(_OFFD) if od_r.shape[1] == 3 else 2
+    for tr in (trd_g, trf_g):
+        for (i, j) in _OFFD[:noff]:
+            rows.append(bcol(tr[:, i, j, 0, :]))
+        for _ in range(len(_OFFD) - noff):
+            rows.append(jnp.zeros((nlev, 1, n), od_r.dtype))
+    rows.append(jnp.broadcast_to(
+        mu0[None, None, None, :],
+        (nlev, 1, ng, ncol)).reshape(nlev, 1, n))
+    rows.append(cell(use3d_g[:, None].astype(od_r.dtype)))
+    rows.append(bcol(clear_g.astype(od_r.dtype)))
+    return jnp.concatenate(rows, axis=1)
+
+
+def _unpack_sw(out, nreg):
+    """(nlev, SW_NOUT, ...) -> 5 histories (nlev, nreg, nreg, ...)."""
+    m = nreg * nreg
+    shape = out.shape[:1] + (nreg, nreg) + out.shape[2:]
+    return tuple(out[:, k * m:(k + 1) * m].reshape(shape)
+                 for k in range(5))
+
+
+# =========================================================================
+# Longwave
+# =========================================================================
+
+# packed LW rows: 3 od + 3 ssa + 3 g + 6 tr + se + pt + pb + 3 fr +
+# use3d + clear
+LW_NF = 23
+LW_NOUT = 24
+
+
+def lw_gamma_expm(cfg, nreg, od_capped, ssa, gg, tr, se, pt, pb, fr,
+                  use3d, fixed_squarings=None):
+    """LW 3D reflectance/transmittance/source terms
+    (radiation_spartacus_lw.F90:636-712), batch-generic."""
+    dtype = od_capped.dtype
+    n2 = 2 * nreg
+    gamma1, gamma2 = ts.lw_gammas(ssa, gg)
+    batch = od_capped.shape[1:]
+    rows = [[jnp.zeros(batch, dtype) for _ in range(n2)]
+            for _ in range(n2)]
+
+    def add(i, j, val):
+        rows[i][j] = rows[i][j] + val
+
+    for r in range(nreg):
+        add(r, r, od_capped[r] * gamma1[r])
+        add(nreg + r, r, od_capped[r] * gamma2[r])
+    for r in range(nreg - 1):
+        add(r, r, tr[r, r + 1])
+        add(r + 1, r, -tr[r, r + 1])
+        if r > 0:
+            add(r + 1, r + 1, tr[r + 1, r])
+            add(r, r + 1, -tr[r + 1, r])
+        else:
+            add(r + 1, r + 1, se * tr[r + 1, r])
+            add(r, r + 1, -se * tr[r + 1, r])
+    if nreg == 3:
+        add(0, 0, tr[0, 2])
+        add(2, 0, -tr[0, 2])
+        add(2, 2, se * tr[2, 0])
+        add(0, 2, -se * tr[2, 0])
+    # Gamma = [[Atl, -Bbl], [Bbl, -Atl]]; only the two independent
+    # blocks are materialized — the particular solution exploits the
+    # structure with nreg-sized solves
+    Atl = jnp.stack([jnp.stack(rows[i][:nreg], axis=0)
+                     for i in range(nreg)], axis=0)
+    Bbl = jnp.stack([jnp.stack(rows[nreg + i][:nreg], axis=0)
+                     for i in range(nreg)], axis=0)
+    Atl = jnp.where(use3d, Atl, 0.0)
+    Bbl = jnp.where(use3d, Bbl, 0.0)
+
+    emis_coeff = jnp.where(use3d,
+                           od_capped * (1.0 - ssa) * fr
+                           * LW_DIFFUSIVITY, 0.0)
+    # In the sum/difference basis the 2*nreg particular-solution solves
+    # collapse to nreg x nreg solves:
+    #   G [x; x'] = [-v; v]   ->  x = x' = -(A-B)^-1 v
+    #   G [y; y'] = [u+w; u-w] -> y,y' = (A-B)^-1 w +/- (A+B)^-1 u
+    # with v = emis*(P_bot - P_top), w = emis*P_top (ref :674-680).
+    v = emis_coeff * (pb - pt)[None]
+    w = emis_coeff * pt[None]
+
+    Ereg = add_eye_g(Atl + Bbl, 1e-12)
+    Freg = add_eye_g(Atl - Bbl, 1e-12)
+    u = solve_vec_g(Freg, v)
+    fw = solve_vec_g(Freg, w)
+    eu = solve_vec_g(Ereg, u)
+    sol0_up = fw + eu
+    sol0_dn = fw - eu
+
+    # NOTE the expm itself must stay dense: computing it in the sum/
+    # difference basis (exp = cosh +/- sinh blockwise) cancels
+    # catastrophically in f32 for optically thick layers, where
+    # cosh(A) ~ sinh(A) ~ e^A/2 but the transmittance needs e^-A.
+    G = jnp.concatenate(
+        [jnp.concatenate([Atl, -Bbl], axis=1),
+         jnp.concatenate([Bbl, -Atl], axis=1)], axis=0)
+    E = expm_g(G, fixed_squarings=fixed_squarings)
+    A = E[:nreg, :nreg]
+    B = E[:nreg, nreg:]
+    C = E[nreg:, :nreg]
+    D = E[nreg:, nreg:]
+    Areg = add_eye_g(A, 1e-12)
+    ref3 = -solve_g(Areg, B)
+    trans3 = mm_gu(C, ref3) + D
+    tmp = sol0_up + u - mv_gu(B, sol0_dn)
+    sup3 = sol0_up - solve_vec_g(Areg, tmp)
+    sdn3 = (mv_gu(C, sup3 - sol0_up) + sol0_dn - mv_gu(D, sol0_dn) + u)
+    return ref3, trans3, sup3, sdn3
+
+
+def _lw_cells(fc, nreg, cfg, fixed_sq):
+    """Full per-cell LW pipeline on a packed (LW_NF, B) tile; returns
+    the (LW_NOUT, B) stacked output rows."""
+    od = fc[0:3]
+    ssa = fc[3:6]
+    gg = fc[6:9]
+
+    m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
+    for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3 else 2]):
+        m[i][j] = fc[9 + k]
+    tr = jnp.stack([jnp.stack(r, 0) for r in m], 0)
+    se = fc[15]
+    pt = fc[16]
+    pb = fc[17]
+    fr = fc[18:18 + nreg]                   # (nreg, B)
+    use3d = fc[18 + nreg] > 0.5
+    clear = fc[19 + nreg] > 0.5
+
+    od_capped = jnp.concatenate(
+        [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
+    gamma1, gamma2 = ts.lw_gammas(ssa, gg)
+
+    def full(_):
+        return lw_gamma_expm(cfg, nreg, od_capped, ssa, gg, tr, se,
+                             pt, pb, fr, use3d,
+                             fixed_squarings=fixed_sq)
+
+    def skip(_):
+        zm = jnp.zeros((nreg, nreg) + od.shape[1:], od.dtype)
+        zv = jnp.zeros((nreg,) + od.shape[1:], od.dtype)
+        return zm, zm, zv, zv
+
+    ref3, trans3, sup3, sdn3 = jax.lax.cond(jnp.any(use3d), full, skip,
+                                            None)
+
+    pt_b = pt[None]
+    pb_b = pb[None]
+    if cfg.do_lw_cloud_scattering:
+        rmw, tmw, sumw, sdmw = ts.lw_reftrans(
+            od, gamma1, gamma2, pt_b * jnp.ones_like(od),
+            pb_b * jnp.ones_like(od))
+    else:
+        tmw, sumw, sdmw = ts.lw_no_scattering_transmittance(
+            od, pt_b * jnp.ones_like(od), pb_b * jnp.ones_like(od))
+        rmw = jnp.zeros_like(tmw)
+    sumw = sumw * fr
+    sdmw = sdmw * fr
+
+    ref = jnp.where(use3d, ref3, _diag_g(rmw, nreg))
+    trans = jnp.where(use3d, trans3, _diag_g(tmw, nreg))
+    sup = jnp.where(use3d, sup3, sumw)
+    sdn = jnp.where(use3d, sdn3, sdmw)
+    ref = _zero_offdiag_clear(ref, clear)
+    trans = _zero_offdiag_clear(trans, clear)
+    sup = _zero_cloudy_vec(sup, clear)
+    sdn = _zero_cloudy_vec(sdn, clear)
+    # explicit stack, not reshape (see _sw_cells)
+    return jnp.stack(
+        [M[i, j] for M in (ref, trans)
+         for i in range(nreg) for j in range(nreg)]
+        + [sup[i] for i in range(nreg)]
+        + [sdn[i] for i in range(nreg)], axis=0)
+
+
+def _pack_lw(od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g, fr_g, use3d_g,
+             clear_g, ng, ncol):
+    nlev = od_r.shape[0]
+    n = ng * ncol
+
+    def cell(x):
+        return x.reshape(nlev, -1, n)
+
+    def bcol(x):
+        return jnp.broadcast_to(x[:, None, None, :],
+                                (nlev, 1, ng, ncol)).reshape(nlev, 1, n)
+
+    rows = [cell(od_r), cell(ssa_r), cell(g_r)]
+    noff = len(_OFFD) if od_r.shape[1] == 3 else 2
+    for (i, j) in _OFFD[:noff]:
+        rows.append(bcol(tr_g[:, i, j, 0, :]))
+    for _ in range(len(_OFFD) - noff):
+        rows.append(jnp.zeros((nlev, 1, n), od_r.dtype))
+    rows.append(cell(se_g[:, None]))
+    rows.append(cell(pt_g[:, None]))
+    rows.append(cell(pb_g[:, None]))
+    for r in range(od_r.shape[1]):
+        rows.append(bcol(fr_g[:, r, 0, :]))
+    rows.append(cell(use3d_g[:, None].astype(od_r.dtype)))
+    rows.append(bcol(clear_g.astype(od_r.dtype)))
+    return jnp.concatenate(rows, axis=1)
+
+
+def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
+                       pb_g, fr_g, use3d_g, clear_g, use_pallas):
+    """All-levels LW histories (R, T, SU, SD).
+
+    od_r/ssa_r/g_r (nlev, nreg, ng, ncol); tr_g (nlev, nreg, nreg, 1,
+    ncol); se_g/pt_g/pb_g (nlev, ng, ncol); fr_g (nlev, nreg, 1,
+    ncol); use3d_g (nlev, ng, ncol); clear_g (nlev, ncol)."""
+    nlev, _, ng, ncol = od_r.shape
+    n = ng * ncol
+    fixed_sq = lw_fixed_squarings(cfg)
+
+    if not use_pallas:
+        def body(_, xs):
+            (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, u3_l,
+             cl_l) = xs
+            fc = _pack_lw(od_l[None], ssa_l[None], g_l[None],
+                          tr_l[None], se_l[None], pt_l[None],
+                          pb_l[None], fr_l[None], u3_l[None],
+                          cl_l[None], ng, ncol)[0]
+            out = _lw_cells(fc, nreg, cfg, None)
+            return None, out.reshape(LW_NOUT, ng, ncol)
+
+        _, hist = jax.lax.scan(
+            body, None, (od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g,
+                         fr_g, use3d_g, clear_g))
+        return _unpack_lw(hist, nreg)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fc = _pack_lw(od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g, fr_g,
+                  use3d_g, clear_g, ng, ncol)
+    n_pad = -(-n // _TILE) * _TILE
+    if n_pad != n:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, n_pad - n)))
+    rows = _TILE // 128
+    nf = fc.shape[1]
+    fc = fc.reshape(nlev, nf, n_pad // 128, 128)
+
+    def kernel(fc_ref, out_ref):
+        out_ref[0] = _lw_cells(fc_ref[0], nreg, cfg, fixed_sq)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nlev, n_pad // _TILE),
+        in_specs=[pl.BlockSpec((1, nf, rows, 128),
+                               lambda l, c: (l, 0, c, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, LW_NOUT, rows, 128),
+                               lambda l, c: (l, 0, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (nlev, LW_NOUT, n_pad // 128, 128), jnp.float32),
+    )(fc)
+    out = out.reshape(nlev, LW_NOUT, n_pad)
+    return _unpack_lw(out[:, :, :n].reshape(nlev, LW_NOUT, ng, ncol),
+                      nreg)
+
+
+def _unpack_lw(out, nreg):
+    m = nreg * nreg
+    mat_shape = out.shape[:1] + (nreg, nreg) + out.shape[2:]
+    vec_shape = out.shape[:1] + (nreg,) + out.shape[2:]
+    return (out[:, :m].reshape(mat_shape),
+            out[:, m:2 * m].reshape(mat_shape),
+            out[:, 2 * m:2 * m + nreg].reshape(vec_shape),
+            out[:, 2 * m + nreg:2 * m + 2 * nreg].reshape(vec_shape))

@@ -66,6 +66,17 @@ def expm(A):
 # far below MXU granularity anyway.
 # ---------------------------------------------------------------------------
 
+
+def add_eye_g(M, c):
+    """M + c*I on (m, m, *batch) matrices, rebuilt entry-wise —
+    .at[i, i].add() lowers to scatter-add, which Mosaic (Pallas TPU)
+    does not implement."""
+    m = M.shape[0]
+    return jnp.stack([
+        jnp.stack([M[i, j] + c if i == j else M[i, j]
+                   for j in range(m)], axis=0)
+        for i in range(m)], axis=0)
+
 def mm_g(a, b):
     """(m, k, *batch) @ (k, n, *batch) -> (m, n, *batch).
 
@@ -78,6 +89,50 @@ def mm_g(a, b):
 def mv_g(a, x):
     """(m, k, *batch) @ (k, *batch) -> (m, *batch)."""
     return (a * x[None]).sum(axis=1)
+
+
+def mm_gu(a, b):
+    """mm_g with the k-contraction unrolled into explicit FMA chains.
+
+    Mosaic (Pallas TPU) cannot lower a reduction over a non-minor axis,
+    so kernel code (and its CPU fallback, for bit-tight equivalence)
+    uses this form; XLA scan bodies keep the broadcast-reduce mm_g."""
+    m, k = a.shape[0], a.shape[1]
+    n = b.shape[1]
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(n):
+            s = a[i, 0] * b[0, j]
+            for kk in range(1, k):
+                s = s + a[i, kk] * b[kk, j]
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def mv_gu(a, x):
+    """mv_g unrolled (see mm_gu)."""
+    m, k = a.shape[0], a.shape[1]
+    out = []
+    for i in range(m):
+        s = a[i, 0] * x[0]
+        for kk in range(1, k):
+            s = s + a[i, kk] * x[kk]
+        out.append(s)
+    return jnp.stack(out, axis=0)
+
+
+def norm1_g(A):
+    """Max column abs-sum of (m, n, *batch), unrolled (see mm_gu)."""
+    m, n = A.shape[0], A.shape[1]
+    out = None
+    for j in range(n):
+        s = jnp.abs(A[0, j])
+        for i in range(1, m):
+            s = s + jnp.abs(A[i, j])
+        out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def solve_g(A, B):
@@ -123,38 +178,36 @@ def expm_g(A, fixed_squarings=None):
     :1118-1216), in the padding-free layout.
 
     fixed_squarings: run exactly that many masked squaring steps
-    (static fori_loop) instead of a while_loop to the batch max —
+    (unrolled Python loop) instead of a while_loop to the batch max —
     required inside Pallas kernels, and correct whenever the caller
-    can bound the 1-norm (per-lane masking makes extra steps no-ops)."""
-    m = A.shape[0]
-    norm1 = jnp.abs(A).sum(axis=0).max(axis=0)     # (*batch,)
+    can bound the 1-norm (per-lane masking makes extra steps no-ops).
+
+    Everything here is built from the unrolled mm_gu/norm1_g forms so
+    the same code lowers inside Pallas kernels (Mosaic has no
+    non-minor-axis reductions) and traces identically on the CPU
+    fallback path."""
+    norm1 = norm1_g(A)                             # (*batch,)
     ratio = norm1 / _THETA3
     expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
     expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
     As = A * jnp.exp2(-expo.astype(A.dtype))
 
-    A2 = mm_g(As, As)
-    A4 = mm_g(A2, A2)
-    A6 = mm_g(A2, A4)
-    eye_cols = [jnp.zeros_like(A[0, 0])] * m
+    A2 = mm_gu(As, As)
+    A4 = mm_gu(A2, A2)
+    A6 = mm_gu(A2, A4)
 
-    def add_eye(M, c):
-        out = M
-        for i in range(m):
-            out = out.at[i, i].add(c)
-        return out
-
-    V = add_eye(_C[7] * A6 + _C[5] * A4 + _C[3] * A2, _C[1])
-    U = mm_g(As, V)
-    V = add_eye(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
-    P = add_eye(solve_g(V - U, 2.0 * U), 1.0)
+    V = add_eye_g(_C[7] * A6 + _C[5] * A4 + _C[3] * A2, _C[1])
+    U = mm_gu(As, V)
+    V = add_eye_g(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
+    P = add_eye_g(solve_g(V - U, 2.0 * U), 1.0)
 
     def body(k, M):
-        return jnp.where(k < expo, mm_g(M, M), M)
+        return jnp.where(k < expo, mm_gu(M, M), M)
 
     if fixed_squarings is not None:
-        return jax.lax.fori_loop(0, fixed_squarings, body, P,
-                                 unroll=True)
+        for k in range(fixed_squarings):
+            P = body(k, P)
+        return P
 
     # early-exit squaring: SPARTACUS operators rarely need more than a
     # few squarings (od and transfer rates are capped), so loop to the
@@ -197,10 +250,18 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
     m2 = M.shape[0]
     n = D.shape[0]
 
-    # 1-norm = max column abs-sum of the full matrix (bottom-left zero)
-    norm_left = jnp.abs(M).sum(axis=0).max(axis=0)
-    norm_right = (jnp.abs(C).sum(axis=0)
-                  + jnp.abs(D).sum(axis=0)).max(axis=0)
+    # 1-norm = max column abs-sum of the full matrix (bottom-left
+    # zero); unrolled column sums (see mm_gu)
+    norm_left = norm1_g(M)
+    norm_right = None
+    for j in range(n):
+        s = jnp.abs(C[0, j])
+        for i in range(1, m2):
+            s = s + jnp.abs(C[i, j])
+        for i in range(n):
+            s = s + jnp.abs(D[i, j])
+        norm_right = s if norm_right is None else jnp.maximum(
+            norm_right, s)
     norm1 = jnp.maximum(norm_left, norm_right)
     ratio = norm1 / _THETA3
     expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
@@ -210,14 +271,9 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
 
     def bprod(a, b):
         """Product of two block-triangular matrices (as (m, c, d))."""
-        return (mm_g(a[0], b[0]), mm_g(a[0], b[1]) + mm_g(a[1], b[2]),
-                mm_g(a[2], b[2]))
-
-    def add_eye(mat, c):
-        out = mat
-        for i in range(mat.shape[0]):
-            out = out.at[i, i].add(c)
-        return out
+        return (mm_gu(a[0], b[0]),
+                mm_gu(a[0], b[1]) + mm_gu(a[1], b[2]),
+                mm_gu(a[2], b[2]))
 
     As = (Ms, Cs, Ds)
     A2 = bprod(As, As)
@@ -225,9 +281,9 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
     A6 = bprod(A2, A4)
 
     def pade_sum(c6, c4, c2, c0):
-        return (add_eye(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
+        return (add_eye_g(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
                 c6 * A6[1] + c4 * A4[1] + c2 * A2[1],
-                add_eye(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
+                add_eye_g(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
 
     V = pade_sum(_C[7], _C[5], _C[3], _C[1])
     U = bprod(As, V)
@@ -240,8 +296,19 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
     Xd = solve_g(Pd, 2.0 * U[2])
     # one LU factorization of Pm for both right-hand-side families
     Xmc = solve_g(Pm, jnp.concatenate(
-        [2.0 * U[0], 2.0 * U[1] - mm_g(Pc, Xd)], axis=1))
-    P = (add_eye(Xmc[:, :m2], 1.0), Xmc[:, m2:], add_eye(Xd, 1.0))
+        [2.0 * U[0], 2.0 * U[1] - mm_gu(Pc, Xd)], axis=1))
+    P = (add_eye_g(Xmc[:, :m2], 1.0), Xmc[:, m2:], add_eye_g(Xd, 1.0))
+
+    def step(k, p):
+        sq = bprod(p, p)
+        do = k < expo
+        return tuple(jnp.where(do, new, old)
+                     for new, old in zip(sq, p))
+
+    if fixed_squarings is not None:
+        for k in range(fixed_squarings):
+            P = step(k, P)
+        return P
 
     expo_max = jnp.minimum(jnp.max(expo), _MAX_SQUARINGS)
 
@@ -251,10 +318,7 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
 
     def body(state):
         k, p = state
-        sq = bprod(p, p)
-        do = k < expo
-        p = tuple(jnp.where(do, new, old) for new, old in zip(sq, p))
-        return k + 1, p
+        return k + 1, step(k, p)
 
     _, P = jax.lax.while_loop(cond, body, (jnp.int32(0), P))
     return P

@@ -25,7 +25,9 @@ import numpy as np
 from ..config import PdfShape, RadiationConfig
 from . import two_stream as ts
 from .cloudless import LwFluxes
-from .matrix import expm_g, mm_g, mv_g, solve_g, solve_vec_g
+from ..ops.gather_interp import use_pallas_default
+from ..ops.spartacus_reftrans import lw_reftrans_levels
+from .matrix import mm_g, mv_g, solve_g, solve_vec_g
 from .spartacus_sw import (TAN_DIFFUSE_ANGLE_3D, _diag_g, _diagonal_g,
                            _edge_length, _layer_depth,
                            _zero_cloudy_vec, _zero_offdiag_clear)
@@ -150,137 +152,6 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
-    n2 = 2 * nreg
-
-    def reftrans_level(xs):
-        """One level's reflectance/transmittance/source terms; called
-        inside the upward scan so no multi-history stack (plus its flip
-        copy) is ever materialized — see spartacus_sw.py up_body."""
-        (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
-         clear_l) = xs
-        od_capped = jnp.concatenate(
-            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
-        gamma1, gamma2 = ts.lw_gammas(ssa_l, g_l)   # (nreg, ncol, ng)
-
-        batch = od_l.shape[1:]
-        rows = [[jnp.zeros(batch, dtype) for _ in range(n2)]
-                for _ in range(n2)]
-
-        def add(i, j, val):
-            rows[i][j] = rows[i][j] + val
-
-        for r in range(nreg):
-            add(r, r, od_capped[r] * gamma1[r])
-            add(nreg + r, r, od_capped[r] * gamma2[r])
-        for r in range(nreg - 1):
-            add(r, r, tr_l[r, r + 1])
-            add(r + 1, r, -tr_l[r, r + 1])
-            if r > 0:
-                add(r + 1, r + 1, tr_l[r + 1, r])
-                add(r, r + 1, -tr_l[r + 1, r])
-            else:
-                add(r + 1, r + 1, se_l * tr_l[r + 1, r])
-                add(r, r + 1, -se_l * tr_l[r + 1, r])
-        if nreg == 3:
-            add(0, 0, tr_l[0, 2])
-            add(2, 0, -tr_l[0, 2])
-            add(2, 2, se_l * tr_l[2, 0])
-            add(0, 2, -se_l * tr_l[2, 0])
-        # Gamma = [[Atl, -Bbl], [Bbl, -Atl]] (the up/down antisymmetry
-        # the dense assembly would fill in); only the two independent
-        # blocks are materialized — the particular solution below
-        # exploits the structure with nreg-sized solves
-        Atl = jnp.stack([jnp.stack(rows[i][:nreg], axis=0)
-                         for i in range(nreg)], axis=0)
-        Bbl = jnp.stack([jnp.stack(rows[nreg + i][:nreg], axis=0)
-                         for i in range(nreg)], axis=0)
-        # zero Gamma where the Meador-Weaver fallback is selected so the
-        # per-level squaring count reflects 3D-treated points only
-        # (see spartacus_sw._gamma_reftrans_level)
-        Atl = jnp.where(use3d_l, Atl, 0.0)
-        Bbl = jnp.where(use3d_l, Bbl, 0.0)
-
-        # particular solution: G x = planck source (reference :674-680);
-        # zeroed with Gamma in masked lanes so the near-singular solve
-        # stays finite there
-        emis_coeff = jnp.where(use3d_l,
-                               od_capped * (1.0 - ssa_l) * fr_l
-                               * LW_DIFFUSIVITY, 0.0)
-        # In the same sum/difference basis the 2*nreg particular-
-        # solution solves collapse to nreg x nreg solves:
-        #   G [x; x'] = [-v; v]   ->  x = x' = -(A-B)^-1 v
-        #   G [y; y'] = [u+w; u-w] -> y,y' = (A-B)^-1 w +/- (A+B)^-1 u
-        # with v = emis*(P_bot - P_top), w = emis*P_top (ref :674-680).
-        v = emis_coeff * (pb_l - pt_l)[None]
-        w = emis_coeff * pt_l[None]
-
-        def reg(mat):
-            out = mat
-            for i in range(nreg):
-                out = out.at[i, i].add(1e-12)
-            return out
-
-        Ereg = reg(Atl + Bbl)
-        Freg = reg(Atl - Bbl)
-        u = solve_vec_g(Freg, v)
-        fw = solve_vec_g(Freg, w)
-        eu = solve_vec_g(Ereg, u)
-        sol_diff = jnp.concatenate([u, u], axis=0)
-        sol0 = jnp.concatenate([fw + eu, fw - eu], axis=0)
-
-        # NOTE the expm itself must stay dense: computing it in the
-        # sum/difference basis (exp = cosh +/- sinh blockwise) cancels
-        # catastrophically in f32 for optically thick layers, where
-        # cosh(A) ~ sinh(A) ~ e^A/2 but the transmittance needs e^-A.
-        G = jnp.concatenate(
-            [jnp.concatenate([Atl, -Bbl], axis=1),
-             jnp.concatenate([Bbl, -Atl], axis=1)], axis=0)
-        E = expm_g(G)
-        A = E[:nreg, :nreg]
-        B = E[:nreg, nreg:]
-        C = E[nreg:, :nreg]
-        D = E[nreg:, nreg:]
-        Areg = A
-        for i in range(nreg):
-            Areg = Areg.at[i, i].add(1e-12)
-        ref3 = -solve_g(Areg, B)
-        trans3 = mm_g(C, ref3) + D
-        sol0_up = sol0[:nreg]
-        sol0_dn = sol0[nreg:]
-        sdiff_up = sol_diff[:nreg]
-        sdiff_dn = sol_diff[nreg:]
-        tmp = sol0_up + sdiff_up - mv_g(B, sol0_dn)
-        sup3 = sol0_up - solve_vec_g(Areg, tmp)
-        sdn3 = (mv_g(C, sup3 - sol0_up) + sol0_dn - mv_g(D, sol0_dn)
-                + sdiff_dn)
-
-        # --- Meador-Weaver fallback -----------------------------------
-        pt_b = pt_l[None]                           # (1, ncol, ng)
-        pb_b = pb_l[None]
-        if cfg.do_lw_cloud_scattering:
-            rmw, tmw, sumw, sdmw = ts.lw_reftrans(
-                od_l, gamma1, gamma2, pt_b * jnp.ones_like(od_l),
-                pb_b * jnp.ones_like(od_l))
-        else:
-            tmw, sumw, sdmw = ts.lw_no_scattering_transmittance(
-                od_l, pt_b * jnp.ones_like(od_l),
-                pb_b * jnp.ones_like(od_l))
-            rmw = jnp.zeros_like(tmw)
-        sumw = sumw * fr_l
-        sdmw = sdmw * fr_l
-
-        sel = use3d_l                               # (..., ncol, ng)
-        ref = jnp.where(sel, ref3, _diag_g(rmw, nreg))
-        trans = jnp.where(sel, trans3, _diag_g(tmw, nreg))
-        sup = jnp.where(sel, sup3, sumw)
-        sdn = jnp.where(sel, sdn3, sdmw)
-        is_clear = clear_l[None, :]                 # (1, ncol) vs (ng, ncol)
-        ref = _zero_offdiag_clear(ref, is_clear)
-        trans = _zero_offdiag_clear(trans, is_clear)
-        sup = _zero_cloudy_vec(sup, is_clear)
-        sdn = _zero_cloudy_vec(sdn, is_clear)
-        return ref, trans, sup, sdn
-
     # clear-sky per-layer properties
     g1c, g2c = ts.lw_gammas(ssa, g)
     if cfg.do_lw_aerosol_scattering:
@@ -297,22 +168,25 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     clear_prev_g = jnp.moveaxis(clear_prev, 1, 0)
     use_matrix = cfg.do_3d_effects or cfg.do_3d_lw_multilayer_effects
 
+    # Per-level reflectance/transmittance/sources for ALL levels at
+    # once (the fused Pallas pipeline on TPU; identical jnp cell math
+    # per level on CPU — see ops/spartacus_reftrans.py and the SW
+    # solver's rationale).
+    R_h, T_h, SU_h, SD_h = lw_reftrans_levels(
+        cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, planck_top_g,
+        planck_bot_g, frac_g, use3d_g, clear_g, use_pallas_default())
+
     # ---------------- upward pass -----------------------------------------
     alb0 = _diag_g(jnp.stack([albedo.T] * nreg, 0), nreg)
     # (nreg, ng, ncol)
     src0 = emission.T[None] * reg_fracs[:, -1].T[:, None, :]
 
-    fields_up = (od_r, ssa_r, g_r, tr_g, se_g, planck_top_g,
-                 planck_bot_g, frac_g, use3d_g, clear_g,
+    fields_up = (R_h, T_h, SU_h, SD_h, clear_g,
                  clear_prev_g, um_g[:nlev], vm_g[:nlev])
 
     def up_body(carry, xs):
         alb, src = carry
-        (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
-         cl_l, cl_prev, um, vm) = xs
-        R, T, SU, SD = reftrans_level(
-            (od_l, ssa_l, g_l, tr_l, se_l, pt_l, pb_l, fr_l, use3d_l,
-             cl_l))
+        (R, T, SU, SD, cl_l, cl_prev, um, vm) = xs
         if use_matrix:
             denom = -mm_g(alb, R)
             for i in range(nreg):

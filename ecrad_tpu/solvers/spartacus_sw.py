@@ -27,22 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Entrapment, PdfShape, RadiationConfig
+from ..ops.gather_interp import use_pallas_default
+from ..ops.spartacus_reftrans import (_diag_g, _zero_cloudy_vec,
+                                      _zero_offdiag_clear,
+                                      sw_reftrans_levels)
 from . import two_stream as ts
 from .cloudless import SwFluxes
-from .matrix import expm_sw_g, mm_g, mv_g, solve_g, solve_vec_g
+from .matrix import mm_g, mv_g, solve_g, solve_vec_g
 from .tripleclouds import calc_overlap_matrices, calc_region_properties
 
 FOUR_OVER_PI = 4.0 / np.pi
 R_OVER_G = 287.0 / 9.80665
 MIN_MU0_3D = 0.06
-# Cap on od/mu0 entering the Gamma direct block. exp(-60) = 8.8e-27 —
-# zero at f32 flux resolution — but an uncapped diagonal (od/mu0 can
-# reach ~1e11 near the terminator; mu0 is clamped at 1e-10) drives the
-# 1-norm-based squaring count in expm_sw_g to its bound for the WHOLE
-# (ng, ncol) level batch: masked lanes still pay each squaring's
-# block products. Measured: the meridian's low-sun columns forced 10
-# squarings on every cloudy level; the cap bounds it at ~5.
-MAX_OD_OVER_MU0_3D = 60.0
 # tan of the effective diffuse zenith angle (reference: diffusivity 2 ->
 # tan(acos(1/2)) = sqrt(3); radiation_spartacus_sw.F90 tan_diffuse_angle_3d)
 TAN_DIFFUSE_ANGLE_3D = np.sqrt(3.0)
@@ -117,127 +113,9 @@ def _transfer_rates(cfg, reg_fracs, edge_len, dz, tan_sza):
     return tr_dir, tr_diff
 
 
-def _gamma_reftrans_level(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
-                          use3d=None):
-    """One level's region-coupled reflectance/transmittance matrices.
-
-    Inputs in g-first layout: od_rg/ssa_rg/g_rg (nreg, ng, ncol);
-    trd/trf (nreg, nreg, 1, ncol); mu0 (1, ncol). Returns 5 matrices
-    (nreg, nreg, ng, ncol). Reference :708-830.
-
-    use3d (ng, ncol): where False the caller discards this result in
-    favour of the Meador-Weaver fallback, so Gamma is zeroed there
-    (expm(0) = I). This keeps the per-level squaring count at the max
-    over *3D-treated* points only — clear levels and low-sun columns
-    (whose od/mu0 diagonal would otherwise demand the full squaring
-    budget) cost nothing. Mirrors the reference evaluating expm only
-    for the ng3D g-point prefix of cloudy layers."""
-    dtype = od_rg.dtype
-    one_over_mu0 = 1.0 / mu0
-    gamma1, gamma2, gamma3 = ts.sw_gammas(mu0, ssa_rg, g_rg)
-
-    n3 = 3 * nreg
-    batch = od_rg.shape[1:]
-    rows = [[jnp.zeros(batch, dtype) for _ in range(n3)]
-            for _ in range(n3)]
-
-    def add(i, j, val):
-        rows[i][j] = rows[i][j] + val
-
-    for r in range(nreg):
-        add(r, r, od_rg[r] * gamma1[r])
-        add(nreg + r, r, od_rg[r] * gamma2[r])
-        add(r, 2 * nreg + r, -od_rg[r] * ssa_rg[r] * gamma3[r])
-        add(nreg + r, 2 * nreg + r,
-            od_rg[r] * ssa_rg[r] * (1.0 - gamma3[r]))
-        add(2 * nreg + r, 2 * nreg + r,
-            -jnp.minimum(od_rg[r] * one_over_mu0, MAX_OD_OVER_MU0_3D))
-    for r in range(nreg - 1):
-        add(r, r, trf[r, r + 1])
-        add(r + 1, r + 1, trf[r + 1, r])
-        add(r + 1, r, -trf[r, r + 1])
-        add(r, r + 1, -trf[r + 1, r])
-        add(2 * nreg + r, 2 * nreg + r, -trd[r, r + 1])
-        add(2 * nreg + r + 1, 2 * nreg + r + 1, -trd[r + 1, r])
-        add(2 * nreg + r + 1, 2 * nreg + r, trd[r, r + 1])
-        add(2 * nreg + r, 2 * nreg + r + 1, trd[r + 1, r])
-    if nreg == 3:
-        add(0, 0, trf[0, 2])
-        add(2, 2, trf[2, 0])
-        add(2, 0, -trf[0, 2])
-        add(0, 2, -trf[2, 0])
-        add(2 * nreg, 2 * nreg, -trd[0, 2])
-        add(2 * nreg + 2, 2 * nreg + 2, -trd[2, 0])
-        add(2 * nreg + 2, 2 * nreg, trd[0, 2])
-        add(2 * nreg, 2 * nreg + 2, trd[2, 0])
-    # antisymmetric blocks
-    for i in range(nreg):
-        for j in range(nreg):
-            rows[nreg + i][nreg + j] = -rows[i][j]
-            rows[i][nreg + j] = -rows[nreg + i][j]
-    # Gamma is block-upper-triangular [[M, C], [0, D]]: rows 2*nreg..
-    # only ever touch the direct (right) columns. Exponentiate blockwise
-    # (matrix.py expm_sw_g; the reference's expm_opt sparsity).
-    n2 = 2 * nreg
-    Gm = jnp.stack([jnp.stack(rows[i][:n2], axis=0) for i in range(n2)],
-                   axis=0)
-    Gc = jnp.stack([jnp.stack(rows[i][n2:], axis=0) for i in range(n2)],
-                   axis=0)
-    Gd = jnp.stack([jnp.stack(rows[n2 + i][n2:], axis=0)
-                    for i in range(nreg)], axis=0)
-    if use3d is not None:
-        Gm = jnp.where(use3d, Gm, 0.0)
-        Gc = jnp.where(use3d, Gc, 0.0)
-        Gd = jnp.where(use3d, Gd, 0.0)
-
-    Em, Ec, Ed = expm_sw_g(Gm, Gc, Gd)
-    tdd = jnp.clip(Ed, 0.0, 1.0)
-    A = Em[:nreg, :nreg]
-    B = Em[:nreg, nreg:]
-    C = Ec[:nreg]
-    # one LU factorization of A for both right-hand-side families
-    X = solve_g(A, jnp.concatenate([B, C], axis=1))
-    ref = jnp.clip(-X[:, :nreg], 0.0, 1.0)
-    refdir = jnp.clip(-X[:, nreg:], 0.0, mu0)
-    trans = jnp.clip(mm_g(Em[nreg:, :nreg], ref) + Em[nreg:, nreg:],
-                     0.0, 1.0)
-    tdiff = jnp.clip(mm_g(Em[nreg:, :nreg], refdir) + Ec[nreg:],
-                     0.0, mu0)
-    return ref, trans, refdir, tdiff, tdd
-
-
-def _diag_g(x, nreg):
-    """(nreg, *batch) vector -> diagonal matrices (nreg, nreg, *batch)."""
-    zero = jnp.zeros_like(x[0])
-    return jnp.stack([
-        jnp.stack([x[i] if i == j else zero for j in range(nreg)], axis=0)
-        for i in range(nreg)], axis=0)
-
-
 def _diagonal_g(M):
     """(m, m, *batch) -> (m, *batch) main diagonal."""
     return jnp.stack([M[i, i] for i in range(M.shape[0])], axis=0)
-
-
-def _zero_offdiag_clear(M, is_clear):
-    """Zero all but the (0,0) entry where is_clear (broadcast batch)."""
-    m = M.shape[0]
-    rows = []
-    for i in range(m):
-        cols = []
-        for j in range(m):
-            if i == 0 and j == 0:
-                cols.append(M[0, 0])
-            else:
-                cols.append(jnp.where(is_clear, 0.0, M[i, j]))
-        rows.append(jnp.stack(cols, axis=0))
-    return jnp.stack(rows, axis=0)
-
-
-def _zero_cloudy_vec(x, is_clear):
-    return jnp.concatenate(
-        [x[:1]] + [jnp.where(is_clear, 0.0, x[i:i + 1])
-                   for i in range(1, x.shape[0])], axis=0)
 
 
 def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
@@ -326,8 +204,6 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     clear_lay = ~cloudy
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
-    mu0_b = mu0[None, :]                           # (1, ncol)
-
     # clear-sky Meador-Weaver reftrans, vectorized over all levels
     # (elementwise; no scan needed): (ncol, nlev, ng)
     g1c, g2c, g3c = ts.sw_gammas(mu0[:, None, None], ssa, g)
@@ -360,16 +236,25 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     edge_prev = jnp.concatenate([edge_len[:, :1], edge_len[:, :-1]],
                                 axis=1)
     not_top = jnp.arange(nlev) > 0
+
+    # Per-level reflectance/transmittance for ALL levels at once. On
+    # TPU this is the fused Pallas pipeline (Gamma -> blockwise Pade
+    # expm -> solves -> MW select in VMEM; ops/spartacus_reftrans.py) —
+    # the same chain expressed as XLA ops inside the scan round-trips
+    # every (6, 6, ng, ncol) intermediate through HBM and was the
+    # binding cost of the whole solver (56 of 143 ms at 512 cols). The
+    # CPU path runs the identical cell math per level inside a scan.
+    # The five histories cost 45 * nlev * ng * ncol * 4 B (1.4 GB at
+    # 512 columns) — SPARTACUS benches at 512 for this reason.
+    R_h, T_h, RD_h, TD_h, TDD_h = sw_reftrans_levels(
+        cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g,
+        clear_g, use_pallas_default())
+
     # Per-level inputs in natural TOA->surface order; the upward scan
-    # runs with reverse=True (surface first), so no flip copies are ever
-    # materialized, and its per-level outputs land at the right index
-    # for the downward pass directly. The per-level reflectance/
-    # transmittance matrices are computed INSIDE this scan (rather than
-    # a prior scan that stacks five (nlev, nreg, nreg, ng, ncol)
-    # histories plus their flips): only the six arrays the downward pass
-    # consumes are ever stored, which is what lets 2048-column batches
-    # fit in HBM.
-    fields_up = (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g,
+    # runs with reverse=True (surface first), so no flip copies are
+    # ever materialized, and its per-level outputs land at the right
+    # index for the downward pass directly.
+    fields_up = (R_h, T_h, RD_h, TD_h, TDD_h,
                  clear_g, clear_prev_g,
                  um_g[:nlev], vm_g[:nlev],
                  jnp.moveaxis(cloud.fraction, 1, 0),
@@ -387,44 +272,10 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     def up_body(carry, xs):
         alb, albdir, x_diff, x_dir = carry
-        (od_l, ssa_l, g_l, trd_l, trf_l, use3d_l, cl_l, cl_prev, um, vm,
+        (R, T, RD, TD, TDD, cl_l, cl_prev, um, vm,
          cf_l, dz_l, xld, xldir,
          el_prev_lev, inv_eff_l, ovp_l, rf_l, rf_prev, not_top_l) = xs
-        # --- this level's reflectance/transmittance matrices ----------
-        od_capped = jnp.concatenate(
-            [jnp.minimum(od_l[:1], cfg.max_gas_od_3d), od_l[1:]], axis=0)
-
-        # skip the Gamma/expm machinery on levels with no 3D-treated
-        # point anywhere (cloud-free levels): the where-select below
-        # discards the result there (sel all-False)
-        def full3d(ops):
-            od_c, ssa_o, g_o, trd_o, trf_o, u3 = ops
-            return _gamma_reftrans_level(cfg, nreg, mu0_b, od_c, ssa_o,
-                                         g_o, trd_o, trf_o, use3d=u3)
-
-        def skip3d(ops):
-            z_mat = jnp.zeros((nreg, nreg) + od_l.shape[1:], dtype)
-            return z_mat, z_mat, z_mat, z_mat, z_mat
-
-        ref3, trans3, refdir3, tdiff3, tdd3 = jax.lax.cond(
-            jnp.any(use3d_l), full3d, skip3d,
-            (od_capped, ssa_l, g_l, trd_l, trf_l, use3d_l))
-        # Meador-Weaver fallback (diagonal matrices)
-        g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_l, g_l)
-        rmw, tmw, rdmw, tdmw, tddmw = ts.sw_reftrans(
-            mu0_b, od_l, ssa_l, g1, g2, g3)
-        sel = use3d_l                              # (..., ng, ncol)
-        R = jnp.where(sel, ref3, _diag_g(rmw, nreg))
-        T = jnp.where(sel, trans3, _diag_g(tmw, nreg))
-        RD = jnp.where(sel, refdir3, _diag_g(rdmw, nreg))
-        TD = jnp.where(sel, tdiff3, _diag_g(tdmw, nreg))
-        TDD = jnp.where(sel, tdd3, _diag_g(tddmw, nreg))
         is_clear = cl_l[None, :]
-        R = _zero_offdiag_clear(R, is_clear)
-        T = _zero_offdiag_clear(T, is_clear)
-        RD = _zero_offdiag_clear(RD, is_clear)
-        TD = _zero_offdiag_clear(TD, is_clear)
-        TDD = _zero_offdiag_clear(TDD, is_clear)
         if entrap in (Entrapment.EXPLICIT,
                       Entrapment.EXPLICIT_NON_FRACTAL):
             x_diff, x_dir = _step_migrations(
