@@ -59,7 +59,63 @@ def main():
         assert err < 5e-6, name
 
     check_fused_taumol()
+    check_spartacus_reftrans()
     print("kernel equivalence OK")
+
+
+def check_spartacus_reftrans():
+    """Fused SPARTACUS per-layer reftrans kernels (SW + LW) vs the jnp
+    scan fallback. Both paths run the identical cell math; the kernel
+    uses the static capped-norm squaring count, the fallback the
+    dynamic batch max — per-lane masking makes them the same FMA
+    sequence, so the comparison is tight."""
+    from ecrad_tpu.config import RadiationConfig
+    from ecrad_tpu.ops.spartacus_reftrans import (lw_reftrans_levels,
+                                                  sw_reftrans_levels)
+
+    cfg = RadiationConfig()
+    rng = np.random.RandomState(7)
+    nreg, nlev, ng, ncol = 3, 7, 16, 133    # ng*ncol not a tile multiple
+
+    def r(*shape, lo=0.0, hi=1.0):
+        return jnp.asarray(
+            (lo + (hi - lo) * rng.rand(*shape)).astype(np.float32))
+
+    od = r(nlev, nreg, ng, ncol, hi=6.0)
+    ssa = r(nlev, nreg, ng, ncol, lo=0.05, hi=0.999)
+    gg = r(nlev, nreg, ng, ncol, hi=0.8)
+    trd = r(nlev, nreg, nreg, 1, ncol, hi=0.5)
+    trf = r(nlev, nreg, nreg, 1, ncol, hi=0.5)
+    mu0 = r(ncol, lo=0.05, hi=1.0)
+    use3d = jnp.asarray(rng.rand(nlev, ng, ncol) > 0.4)
+    use3d = use3d.at[0].set(False)          # a no-3D level hits skip()
+    clear = jnp.asarray(rng.rand(nlev, ncol) > 0.7)
+
+    def cmp(name, a, b, tol):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        print(f"{name}: rel err {err:.2e}  "
+              f"{'OK' if err < tol else 'FAIL'}")
+        assert err < tol, name
+
+    run = jax.jit(lambda up: sw_reftrans_levels(
+        cfg, nreg, od, ssa, gg, trd, trf, mu0, use3d, clear, up),
+        static_argnums=0)
+    for name, a, b in zip(("sw_R", "sw_T", "sw_RD", "sw_TD", "sw_TDD"),
+                          run(True), run(False)):
+        cmp(f"spartacus_{name}", a, b, 2e-5)
+
+    se = r(nlev, ng, ncol, lo=0.5, hi=1.0)
+    pt = r(nlev, ng, ncol, hi=40.0)
+    pb = r(nlev, ng, ncol, hi=40.0)
+    fr = r(nlev, nreg, 1, ncol)
+    runl = jax.jit(lambda up: lw_reftrans_levels(
+        cfg, nreg, od, ssa, gg, trd, se, pt, pb, fr, use3d, clear, up),
+        static_argnums=0)
+    for name, a, b in zip(("lw_R", "lw_T", "lw_SU", "lw_SD"),
+                          runl(True), runl(False)):
+        cmp(f"spartacus_{name}", a, b, 2e-5)
 
 
 def check_fused_taumol():
