@@ -116,13 +116,55 @@ ROOFLINE_BASE = {
 }
 
 
-def run_extras():
-    """Kernel-equivalence + roofline artifact lines (subprocesses so a
-    failure there cannot take down the solver lines)."""
+def golden_check_line(inputs):
+    """Run the meridian SPARTACUS config on the attached chip and
+    compare all flux fields against the CPU regression golden
+    (tests/goldens/spartacus_meridian.npz) — the end-to-end analogue of
+    the reference's golden-file strategy (test/ifs/Makefile:12-63), so
+    production-path validation does not rest on kernel-unit
+    equivalence alone. value = max relative error over fields;
+    vs_baseline = 1.0 iff within tolerance (5e-4: TPU-vs-CPU f32
+    reduction-order and transcendental differences measured ~1e-4)."""
+    from ecrad_tpu.config import Solver, load_config_from_namelist
+    from ecrad_tpu.interface import radiation, setup_radiation
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "tests", "goldens",
+                        "spartacus_meridian.npz")
+    golden = np.load(path)
+    cfg = load_config_from_namelist(
+        "/root/reference/test/ifs/configCY47R1.nam",
+        directory_name="/root/reference/data",
+        do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+        do_canopy_fluxes_lw=False, i_solver_sw=Solver.SPARTACUS,
+        i_solver_lw=Solver.SPARTACUS, do_3d_effects=True)
+    setup = setup_radiation(cfg)
+    flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+    worst = 0.0
+    for key in golden.files:
+        got = np.asarray(getattr(flux, key))
+        want = golden[key]
+        scale = max(np.abs(want).max(), 1.0)
+        worst = max(worst, float(np.abs(got - want).max() / scale))
+    tol = 5e-4
+    return {"metric": "spartacus_tpu_vs_golden", "value": worst,
+            "unit": "max_rel_err", "vs_baseline": float(worst < tol)}
+
+
+def run_extras(inputs):
+    """Kernel-equivalence + TPU-vs-golden + roofline artifact lines
+    (subprocess / guarded so a failure there cannot take down the
+    solver lines)."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     baselines = ROOFLINE_BASE
     lines = []
+
+    try:
+        lines.append(golden_check_line(inputs))
+    except Exception as e:
+        sys.stderr.write(f"spartacus golden check failed: {e}\n")
+        lines.append({"metric": "spartacus_tpu_vs_golden", "value": -1.0,
+                      "unit": "max_rel_err", "vs_baseline": 0.0})
 
     ok = 0
     try:
@@ -190,18 +232,30 @@ def main():
 
     which = os.environ.get("ECRAD_BENCH_SOLVER", "all")
     solvers = SOLVERS if which == "all" else [which]
-    # the extras go BEFORE the last solver line so the driver's
-    # parsed headline stays the McICA throughput
-    for solver in solvers[:-1]:
-        print(json.dumps(bench_solver(solver, inputs, baselines)),
-              flush=True)
+    # extras run FIRST so the per-solver lines sit immediately before
+    # the headline and survive the driver's tail capture (the round-3
+    # record lost them to truncated extras output); everything printed
+    # is also written to BENCH_ARTIFACT.json as a durable record
+    emitted = []
+
+    def emit(line):
+        emitted.append(line)
+        print(json.dumps(line), flush=True)
+
     if (which == "all"
             and os.environ.get("ECRAD_BENCH_EXTRAS", "1") != "0"
             and jax.devices()[0].platform != "cpu"):
-        for line in run_extras():
-            print(json.dumps(line), flush=True)
-    print(json.dumps(bench_solver(solvers[-1], inputs, baselines)),
-          flush=True)
+        for line in run_extras(inputs):
+            emit(line)
+    for solver in solvers:
+        emit(bench_solver(solver, inputs, baselines))
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_ARTIFACT.json"),
+                "w") as f:
+            json.dump(emitted, f, indent=1)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -219,6 +219,10 @@ class RadiationConfig:
     do_canopy_gases_sw: bool = False
     do_canopy_gases_lw: bool = False
     do_fu_lw_ice_optics_bug: bool = False
+    # Analogue of the reference's PRINT_ENTRAPMENT_DATA compile flag
+    # (Makefile:54-60): capture SPARTACUS SW entrapment internals in
+    # Flux.entrapment_data; the driver dumps them fort.101/102-style.
+    do_print_entrapment_data: bool = False
     iverbose: int = 1
     iverbosesetup: int = 2
 
@@ -294,6 +298,15 @@ class RadiationConfig:
     def cloud_pdf_file(self) -> str:
         return getattr(self, "_cloud_pdf_file", "")
 
+    @property
+    def do_clouds(self) -> bool:
+        """Will clouds be used at all? Derived exactly as the reference
+        (radiation_config.F90:531,898-900,939-941): true iff an active
+        spectral region runs a non-Cloudless solver. When false, cloud
+        cropping and cloud optics are skipped entirely."""
+        return ((self.do_sw and self.i_solver_sw != Solver.CLOUDLESS)
+                or (self.do_lw and self.i_solver_lw != Solver.CLOUDLESS))
+
 
 @dataclass(frozen=True)
 class DriverConfig:
@@ -310,6 +323,10 @@ class DriverConfig:
     iverbose: int = 2
     do_save_inputs: bool = False
     do_correct_unphysical_inputs: bool = False
+    # Write outputs as NetCDF4/HDF5 with deflate compression
+    # (ecrad_driver_config.F90:92, easy_netcdf.F90 NF90_HDF5 mode)
+    do_write_hdf5: bool = False
+    do_write_double_precision: bool = False
     # Scalings / overrides
     fractional_std: float = 0.0
     overlap_decorr_length: float = 0.0
@@ -474,6 +491,8 @@ def describe_config(cfg: RadiationConfig) -> str:
         if hasattr(val, "name"):
             val = val.name
         lines.append(f"  {f.name:42s} = {val}")
+    # derived flags (radiation_config.F90:1155 "Clouds are...")
+    lines.append(f"  {'do_clouds (derived)':42s} = {cfg.do_clouds}")
     return "\n".join(lines)
 
 

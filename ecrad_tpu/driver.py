@@ -231,8 +231,37 @@ def main(argv=None):
 
     if driver_config.iverbose >= 2:
         print(f"Writing {args.output_nc}")
-    save_fluxes(args.output_nc, jax.device_get(flux), thermo)
+    save_fluxes(args.output_nc, jax.device_get(flux), thermo,
+                hdf5=driver_config.do_write_hdf5,
+                double_precision=driver_config.do_write_double_precision)
+    if getattr(flux, "entrapment_data", None) is not None:
+        _dump_entrapment_data(args.output_nc, flux.entrapment_data)
     return 0
+
+
+def _dump_entrapment_data(output_nc, data):
+    """fort.101/fort.102-format text dumps of SPARTACUS entrapment
+    internals (the reference's PRINT_ENTRAPMENT_DATA compile flag,
+    Makefile:54-60; radiation_spartacus_sw.F90:1007-1020,:1486-1497).
+    Written next to the output file as <out>.fort.101/.fort.102."""
+    import numpy as np
+    x_dir, x_diff, direct_dn, flux_dn = [np.asarray(a) for a in data]
+    nlev, nreg, ncol = x_dir.shape
+    base = output_nc
+    with open(base + ".fort.101", "w") as f101:
+        for jcol in range(ncol):
+            for jlev in range(nlev):
+                vals = (list(x_dir[jlev, :, jcol])
+                        + list(x_diff[jlev, :, jcol]) + [1.0] * nreg)
+                f101.write(f"{jcol + 1:4d}{jlev + 1:4d}"
+                           + "".join(f"{v:14.6e}" for v in vals) + "\n")
+    with open(base + ".fort.102", "w") as f102:
+        for jcol in range(ncol):
+            for jlev in range(nlev):
+                vals = (list(direct_dn[jlev, :, jcol])
+                        + list(flux_dn[jlev, :, jcol]))
+                f102.write(f"{jcol + 1:4d}{jlev + 1:4d}"
+                           + "".join(f"{v:14.6e}" for v in vals) + "\n")
 
 
 if __name__ == "__main__":

@@ -333,10 +333,11 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
             od_lw, ssa_lw, g_lw, od_sw, ssa_sw, g_sw)
 
     # ---- cloud optics -------------------------------------------------------
-    needs_cloud = (cfg.i_solver_sw != Solver.CLOUDLESS
-                   or cfg.i_solver_lw != Solver.CLOUDLESS)
+    # do_clouds (radiation_config.F90:898-900 / interface.F90:317-340):
+    # skip cropping + cloud optics entirely when no active spectral
+    # region runs a cloud-aware solver
     cloud_props = None
-    if needs_cloud and cloud is not None:
+    if cfg.do_clouds and cloud is not None:
         from .optics.cloud import cloud_optics
         if cloud.fractional_std is None:
             cloud = cloud.replace(

@@ -144,11 +144,24 @@ class NetcdfFile:
 def write_netcdf(path: str, dims: Dict[str, int],
                  variables: Dict[str, Tuple[Tuple[str, ...], np.ndarray]],
                  attrs: Optional[Dict[str, Dict[str, str]]] = None,
-                 global_attrs: Optional[Dict[str, str]] = None) -> None:
-    """Write a classic NetCDF3 (64-bit offset) file via scipy.
+                 global_attrs: Optional[Dict[str, str]] = None,
+                 hdf5: bool = False, deflate_level: int = 2,
+                 shuffle: bool = True,
+                 double_precision: bool = False) -> None:
+    """Write a classic NetCDF3 (64-bit offset) file via scipy, or — with
+    hdf5=True — a NetCDF4-compatible HDF5 file with deflate compression.
 
     variables: name -> (dim_names, array). attrs: name -> {attr: value}.
+
+    Reference parity: utilities/easy_netcdf.F90 create_netcdf_file
+    (NF90_HDF5 mode, :193-230) with per-variable deflate_level +
+    shuffle (:22, define_variable), and the double_precision toggle
+    (:281-292); selected by the driver's do_write_hdf5 namelist flag
+    (driver/ecrad_driver_config.F90:92).
     """
+    if hdf5:
+        return _write_hdf5(path, dims, variables, attrs, global_attrs,
+                           deflate_level, shuffle, double_precision)
     from scipy.io import netcdf_file
     attrs = attrs or {}
     with netcdf_file(path, "w", version=2) as f:
@@ -156,9 +169,10 @@ def write_netcdf(path: str, dims: Dict[str, int],
             f.createDimension(dname, dlen)
         for vname, (vdims, data) in variables.items():
             data = np.asarray(data)
-            if data.dtype == np.float64:
+            if data.dtype == np.float64 and not double_precision:
                 data = data.astype(np.float32)
             typecode = {np.dtype(np.float32): "f",
+                        np.dtype(np.float64): "d",
                         np.dtype(np.int32): "i",
                         np.dtype(np.int64): "i"}.get(data.dtype, "f")
             if data.dtype == np.int64:
@@ -169,3 +183,49 @@ def write_netcdf(path: str, dims: Dict[str, int],
                 setattr(var, aname, aval)
         for aname, aval in (global_attrs or {}).items():
             setattr(f, aname, aval)
+
+
+def _write_hdf5(path, dims, variables, attrs, global_attrs,
+                deflate_level, shuffle, double_precision):
+    """NetCDF4-compatible HDF5 writer (h5py): dimension-scale datasets
+    attached to every variable axis, gzip deflate + byte shuffle.
+    Readable by netCDF4/xarray and by our own NetcdfFile reader."""
+    import h5py
+    attrs = attrs or {}
+    comp = dict(compression="gzip",
+                compression_opts=int(max(0, min(9, deflate_level))),
+                shuffle=bool(shuffle)) if deflate_level > 0 else {}
+    with h5py.File(path, "w") as f:
+        scales = {}
+        for i, (dname, dlen) in enumerate(dims.items()):
+            # phony dimension-scale dataset (what netCDF4 writes for a
+            # dimension without a coordinate variable of the same name)
+            if dname in variables:
+                continue
+            d = f.create_dataset(dname, shape=(dlen,), dtype="f4")
+            d.make_scale(dname)
+            d.attrs["_Netcdf4Dimid"] = np.int32(i)
+            scales[dname] = d
+        for vname, (vdims, data) in variables.items():
+            data = np.asarray(data)
+            if data.dtype.kind == "f":
+                data = data.astype(
+                    np.float64 if double_precision else np.float32)
+            elif data.dtype == np.int64:
+                data = data.astype(np.int32)
+            kw = dict(comp) if data.ndim > 0 else {}
+            v = f.create_dataset(vname, data=data, **kw)
+            if vname in dims:            # coordinate variable
+                v.make_scale(vname)
+                scales[vname] = v
+            for aname, aval in attrs.get(vname, {}).items():
+                v.attrs[aname] = aval
+        for vname, (vdims, _) in variables.items():
+            v = f[vname]
+            if vname in scales:
+                continue
+            for ax, dname in enumerate(vdims):
+                if dname in scales:
+                    v.dims[ax].attach_scale(scales[dname])
+        for aname, aval in (global_attrs or {}).items():
+            f.attrs[aname] = aval

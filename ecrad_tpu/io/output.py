@@ -15,7 +15,10 @@ from .netcdf import write_netcdf
 
 
 def save_fluxes(path: str, flux: Flux,
-                thermodynamics: Optional[Thermodynamics] = None) -> None:
+                thermodynamics: Optional[Thermodynamics] = None,
+                **nc_kwargs) -> None:
+    """nc_kwargs forward to write_netcdf (hdf5=, deflate_level=,
+    double_precision= — the driver's do_write_hdf5 path)."""
     dims = {}
     variables = {}
     attrs = {}
@@ -110,7 +113,8 @@ def save_fluxes(path: str, flux: Flux,
 
     write_netcdf(path, dims, variables, attrs,
                  global_attrs={"title":
-                               "Radiative fluxes from ecRad-TPU"})
+                               "Radiative fluxes from ecRad-TPU"},
+                 **nc_kwargs)
 
 
 def save_inputs(path: str, single_level, thermo, gas, cloud,

@@ -84,11 +84,12 @@ def solve_sw(setup, single_level, thermodynamics, cloud, cloud_props,
         extras["cloud_cover_sw"] = tcc
     elif cfg.i_solver_sw == Solver.SPARTACUS:
         from .spartacus_sw import solver_spartacus_sw
-        total, clear, tcc = solver_spartacus_sw(
+        total, clear, tcc, sp_extras = solver_spartacus_sw(
             setup, single_level, thermodynamics, cloud, od, ssa, g,
             od_cloud, ssa_cloud, g_cloud, incoming_sw,
             albedo_diffuse, albedo_direct)
         extras["cloud_cover_sw"] = tcc
+        extras.update(sp_extras)
     else:
         raise NotImplementedError(cfg.i_solver_sw)
     return total, clear, extras

@@ -21,6 +21,28 @@ _C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
 _MAX_SQUARINGS = 10
 
 
+def _squaring_count(norm1):
+    """Pade squaring count + exact 2^-count scale from the 1-norm.
+
+    count = #{k in [0, _MAX_SQUARINGS) : norm1 > theta3 * 2^k}, which
+    equals ceil(log2(norm1/theta3)) clipped to [0, _MAX_SQUARINGS] —
+    but computed with ONLY compares against exact power-of-two
+    multiples and a select-product, no transcendentals. ceil(log2(x))
+    rounds differently in Mosaic (Pallas) vs XLA for borderline lanes,
+    flipping the count by +-1 and making the kernel and its jnp
+    fallback run DIFFERENT scalings (the round-3 spartacus_sw_RD
+    1.25e-4 hardware-equivalence failure). This form is bit-identical
+    on every backend. Returns (count_i32, scale) with
+    scale = 2^-count exactly (products of 0.5 are exact in f32)."""
+    expo = jnp.zeros(norm1.shape, jnp.int32)
+    scale = jnp.ones_like(norm1)
+    for k in range(_MAX_SQUARINGS):
+        gt = norm1 > _THETA3 * float(2.0 ** k)
+        expo = expo + gt.astype(jnp.int32)
+        scale = jnp.where(gt, scale * 0.5, scale)
+    return expo, scale
+
+
 def expm(A):
     """Matrix exponential of A (..., m, m), batched Pade-7.
 
@@ -29,10 +51,7 @@ def expm(A):
     count is bounded by _MAX_SQUARINGS with masking."""
     norm1 = jnp.abs(A).sum(axis=-2).max(axis=-1)   # max column abs-sum
     # number of squarings: smallest e with norm/2^e <= theta3
-    ratio = norm1 / _THETA3
-    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
-    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
-    scaling = jnp.exp2(-expo.astype(A.dtype))
+    expo, scaling = _squaring_count(norm1)
     As = A * scaling[..., None, None]
 
     # full f32 matmuls: TPU defaults to bf16 inputs, far too coarse for
@@ -187,10 +206,8 @@ def expm_g(A, fixed_squarings=None):
     non-minor-axis reductions) and traces identically on the CPU
     fallback path."""
     norm1 = norm1_g(A)                             # (*batch,)
-    ratio = norm1 / _THETA3
-    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
-    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
-    As = A * jnp.exp2(-expo.astype(A.dtype))
+    expo, scale = _squaring_count(norm1)
+    As = A * scale
 
     A2 = mm_gu(As, As)
     A4 = mm_gu(A2, A2)
@@ -263,10 +280,7 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
         norm_right = s if norm_right is None else jnp.maximum(
             norm_right, s)
     norm1 = jnp.maximum(norm_left, norm_right)
-    ratio = norm1 / _THETA3
-    expo = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
-    expo = jnp.clip(expo, 0, _MAX_SQUARINGS)
-    s = jnp.exp2(-expo.astype(M.dtype))
+    expo, s = _squaring_count(norm1)
     Ms, Cs, Ds = M * s, C * s, D * s
 
     def bprod(a, b):

@@ -41,7 +41,9 @@ R_OVER_G = 287.0 / 9.80665
 MIN_MU0_3D = 0.06
 # tan of the effective diffuse zenith angle (reference: diffusivity 2 ->
 # tan(acos(1/2)) = sqrt(3); radiation_spartacus_sw.F90 tan_diffuse_angle_3d)
-TAN_DIFFUSE_ANGLE_3D = np.sqrt(3.0)
+# float(): np scalars are STRONG-typed f64 under jax_enable_x64 and
+# would promote the f32 scan carries (f64 validation runs)
+TAN_DIFFUSE_ANGLE_3D = float(np.sqrt(3.0))
 
 
 def _edge_length(cfg: RadiationConfig, cloud, reg_fracs):
@@ -131,7 +133,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     one_over_mu0 = 1.0 / mu0
     tan_sza = jnp.where(
         mu0 < MIN_MU0_3D,
-        np.sqrt(1.0 / (MIN_MU0_3D * MIN_MU0_3D) - 1.0),
+        float(np.sqrt(1.0 / (MIN_MU0_3D * MIN_MU0_3D) - 1.0)),
         jnp.where(one_over_mu0 > 1.0,
                   jnp.sqrt(jnp.maximum(one_over_mu0 ** 2 - 1.0
                                        + cfg.overhead_sun_factor, 0.0)),
@@ -229,7 +231,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
                                 0), nreg)
     x0 = jnp.zeros((nreg, ng, ncol), dtype)
 
-    x_layer_diffuse = dz * TAN_DIFFUSE_ANGLE_3D / np.sqrt(2.0)
+    x_layer_diffuse = dz * TAN_DIFFUSE_ANGLE_3D / float(np.sqrt(2.0))
     x_layer_direct = dz * jnp.sqrt(tan_sza[:, None] ** 2
                                    + TAN_DIFFUSE_ANGLE_3D ** 2) * 0.5
 
@@ -337,14 +339,23 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
             x_diff = jnp.where(both_clear, x_diff, x_diff_m)
             x_dir = jnp.where(both_clear, x_dir, x_dir_m)
 
-        return ((alb_keep, albdir_keep, x_diff, x_dir),
-                (R, T, TD, TDD, alb, albdir))
+        # R/T/TD/TDD are NOT re-emitted: the down pass reads the
+        # original kernel histories directly — scan ys are materialized
+        # buffers, so re-emitting unchanged xs doubles their HBM writes
+        ys = (alb, albdir)
+        if cfg.do_print_entrapment_data:
+            # migration distances at the top of this layer, g-point 1
+            # (PRINT_ENTRAPMENT_DATA fort.101,
+            # radiation_spartacus_sw.F90:1007-1020)
+            ys = ys + (x_dir[:, 0, :], x_diff[:, 0, :])
+        return ((alb_keep, albdir_keep, x_diff, x_dir), ys)
 
     # reverse=True: sweeps surface->TOA; ys[i] still lands at layer i,
     # so alb_hist[i] IS the albedo below layer i — no flips needed
     (alb_top, albdir_top, _, _), ys_up = jax.lax.scan(
         up_body, (alb0, albdir0, x0, x0), fields_up, reverse=True)
-    (ref, trans, tdiff, tdd, alb_below_layer, albdir_below_layer) = ys_up
+    (alb_below_layer, albdir_below_layer) = ys_up[:2]
+    entrap_hist = ys_up[2:]            # (x_dir, x_diff) when captured
 
     # ---------------- downward pass ---------------------------------------
     # direct0: (nreg, ng, ncol)
@@ -353,13 +364,17 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
 
     clear_next = jnp.concatenate(
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
-    fields_dn = (ref, trans, tdiff, tdd,
+    fields_dn = (R_h, T_h, TD_h, TDD_h,
                  alb_below_layer, albdir_below_layer,
                  clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
 
     def dn_body(carry, xs):
         flux_dn, direct_dn = carry     # (nreg, ng, ncol)
         (R, T, TD, TDD, alb_b, albdir_b, cl_l, cl_next, vm) = xs
+        # fluxes entering the top of this layer, g-point 1
+        # (PRINT_ENTRAPMENT_DATA fort.102, :1486-1497)
+        dn_at_top = ((direct_dn[:, 0, :], flux_dn[:, 0, :])
+                     if cfg.do_print_entrapment_data else ())
         source_dn = mv_g(TD, direct_dn)
         direct_above = mv_g(TDD, direct_dn)
         denom = -mm_g(R, alb_b)
@@ -378,10 +393,13 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         ddn_mixed = mv_g(vm, direct_above)
         fdn_out = jnp.where(both_clear, fdn_above, fdn_mixed)
         ddn_out = jnp.where(both_clear, direct_above, ddn_mixed)
-        return (fdn_out, ddn_out), (fup_above, fdn_above, direct_above)
+        return ((fdn_out, ddn_out),
+                (fup_above, fdn_above, direct_above) + dn_at_top)
 
-    (_, _), (fup_hist, fdn_hist, ddn_hist) = jax.lax.scan(
+    (_, _), ys_dn = jax.lax.scan(
         dn_body, (jnp.zeros_like(direct0), direct0), fields_dn)
+    (fup_hist, fdn_hist, ddn_hist) = ys_dn[:3]
+    entrap_hist = entrap_hist + ys_dn[3:]
 
     def profile(top, hist):
         # top (nreg, ng, ncol); hist (nlev, nreg, ng, ncol)
@@ -406,7 +424,12 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     total = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in total))
     clear = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in clear))
     tcc = jnp.where(cos_sza > 1.0e-10, tcc, -1.0)
-    return total, clear, tcc
+    extras = {}
+    if cfg.do_print_entrapment_data:
+        # (x_direct, x_diffuse, direct_dn, flux_dn), each (nlev, nreg,
+        # ncol) at g-point 1 — the reference's fort.101/fort.102 data
+        extras["entrapment_data"] = tuple(entrap_hist)
+    return total, clear, tcc, extras
 
 
 def _step_migrations(cfg, nreg, cloud_frac, dz, tan_sza, R, T, RD, TDD,

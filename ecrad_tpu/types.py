@@ -314,6 +314,12 @@ class Flux:
     sw_up_band_clear: Optional[jnp.ndarray] = None
     sw_dn_band_clear: Optional[jnp.ndarray] = None
     sw_dn_direct_band_clear: Optional[jnp.ndarray] = None
+    # SPARTACUS entrapment internals (do_print_entrapment_data; the
+    # reference's PRINT_ENTRAPMENT_DATA compile flag, Makefile:54-60):
+    # (x_direct, x_diffuse, direct_dn, flux_dn), each (nlev, nreg,
+    # ncol) at g-point 1 (radiation_spartacus_sw.F90:1007-1020,
+    # :1486-1497)
+    entrapment_data: Optional[tuple] = None
 
     def net_lw(self) -> jnp.ndarray:
         return self.lw_dn - self.lw_up

@@ -78,3 +78,16 @@ sw_solver_name = "Tripleclouds",
     assert cfg.do_sw is False
     assert cfg.nregions == 2
     assert cfg.i_solver_sw == Solver.TRIPLECLOUDS
+
+
+def test_do_clouds_derived():
+    """do_clouds mirrors radiation_config.F90:898-900: true iff an
+    active spectral region runs a non-Cloudless solver."""
+    from ecrad_tpu.config import RadiationConfig
+    assert RadiationConfig().do_clouds
+    assert not RadiationConfig(i_solver_sw=Solver.CLOUDLESS,
+                               i_solver_lw=Solver.CLOUDLESS).do_clouds
+    # LW disabled, SW cloudless -> no clouds even with a cloudy LW solver
+    assert not RadiationConfig(i_solver_sw=Solver.CLOUDLESS,
+                               do_lw=False).do_clouds
+    assert RadiationConfig(i_solver_sw=Solver.CLOUDLESS).do_clouds

@@ -154,3 +154,73 @@ def test_spectral_clear_and_canopy_outputs(tmp_path):
                      "canopy_flux_dn_direct_sw_surf",
                      "canopy_flux_dn_lw_surf"):
             assert f.exists(name), name
+
+
+@needs_ref
+def test_hdf5_output(tmp_path):
+    """do_write_hdf5 writes a NetCDF4/HDF5 deflated file whose fluxes
+    match the classic-format output bit-for-bit (easy_netcdf.F90
+    NF90_HDF5 mode; ecrad_driver_config.F90:92)."""
+    from ecrad_tpu.driver import main
+    from ecrad_tpu.io.netcdf import NetcdfFile, _is_hdf5
+    nam = tmp_path / "c.nam"
+    nam.write_text("""
+&radiation_driver
+iverbose = 1
+iendcol = 4
+do_write_hdf5 = true
+/
+&radiation
+do_sw = true
+do_lw = true
+directory_name = "/root/reference/data"
+/
+""")
+    nam2 = tmp_path / "c2.nam"
+    nam2.write_text(nam.read_text().replace("do_write_hdf5 = true", ""))
+    out_h5 = tmp_path / "out_h5.nc"
+    out_nc = tmp_path / "out_nc.nc"
+    assert main([str(nam), IFS_IN, str(out_h5)]) == 0
+    assert main([str(nam2), IFS_IN, str(out_nc)]) == 0
+    assert _is_hdf5(str(out_h5)) and not _is_hdf5(str(out_nc))
+    with NetcdfFile(str(out_h5)) as fh, NetcdfFile(str(out_nc)) as fc:
+        for var in ("flux_up_lw", "flux_dn_sw", "flux_dn_direct_sw"):
+            np.testing.assert_array_equal(fh.read(var), fc.read(var))
+    # deflate actually engaged: h5py reports gzip compression
+    import h5py
+    with h5py.File(str(out_h5), "r") as f:
+        assert f["flux_up_lw"].compression == "gzip"
+
+
+@needs_ref
+def test_entrapment_data_dump(tmp_path):
+    """do_print_entrapment_data captures SPARTACUS SW migration
+    distances + top-of-layer region fluxes and the driver writes them
+    in the reference's fort.101/fort.102 format
+    (PRINT_ENTRAPMENT_DATA, Makefile:54-60)."""
+    from ecrad_tpu.driver import main
+    nam = tmp_path / "c.nam"
+    nam.write_text("""
+&radiation_driver
+iverbose = 1
+iendcol = 4
+/
+&radiation
+do_sw = true
+do_lw = false
+sw_solver_name = "SPARTACUS"
+do_3d_effects = true
+do_print_entrapment_data = true
+directory_name = "/root/reference/data"
+/
+""")
+    out = tmp_path / "out.nc"
+    assert main([str(nam), IFS_IN, str(out)]) == 0
+    f101 = (tmp_path / "out.nc.fort.101").read_text().splitlines()
+    f102 = (tmp_path / "out.nc.fort.102").read_text().splitlines()
+    assert len(f101) == 4 * 137 and len(f102) == 4 * 137
+    # 2 indices + 9 (f101) / 6 (f102) float fields for nreg=3
+    assert len(f101[0].split()) == 11
+    assert len(f102[0].split()) == 8
+    vals = np.array([float(x) for x in f102[0].split()[2:]])
+    assert np.isfinite(vals).all()
