@@ -180,6 +180,38 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     alb0 = _diag_g(jnp.stack([albedo.T] * nreg, 0), nreg)
     # (nreg, ng, ncol)
     src0 = emission.T[None] * reg_fracs[:, -1].T[:, None, :]
+    clear_next = jnp.concatenate(
+        [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
+
+    # Fused Pallas adding sweeps on TPU (ops/spartacus_adding.py);
+    # lax.scan below is the CPU fallback. ECRAD_SPARTACUS_ADDING
+    # overrides for tests (scan|kernel|interpret).
+    import os
+    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
+    use_kernel = (use_pallas_default() if mode == ""
+                  else mode in ("kernel", "interpret"))
+    if use_kernel:
+        from ..ops.spartacus_adding import lw_adding_sweeps, lw_pack_cols
+        hist = jnp.concatenate(
+            [R_h.reshape(nlev, nreg * nreg, ng, ncol),
+             T_h.reshape(nlev, nreg * nreg, ng, ncol), SU_h, SD_h],
+            axis=1)
+        cols = lw_pack_cols(um_g, vm_g, clear_g, clear_prev_g,
+                            jnp.moveaxis(clear_next, 1, 0))
+        init_up = jnp.concatenate(
+            [alb0.reshape(nreg * nreg, ng, ncol), src0], axis=0)
+        src_top, ys_up12, dn6 = lw_adding_sweeps(
+            cfg, use_matrix, hist, cols, init_up,
+            interpret=(mode == "interpret"))
+        fup_hist = dn6[:, 0:3]
+        fdn_hist = dn6[:, 3:6]
+        trans = T_h
+        up_prof = jnp.concatenate(
+            [src_top.sum(0)[None], fup_hist.sum(1)], axis=0)
+        dn_prof = jnp.concatenate(
+            [jnp.zeros((1, ng, ncol), dtype), fdn_hist.sum(1)], axis=0)
+        return _lw_finish(cfg, up_prof, dn_prof, trans, um_g, rc, tc,
+                          suc, sdc, emission, albedo, tcc)
 
     fields_up = (R_h, T_h, SU_h, SD_h, clear_g,
                  clear_prev_g, um_g[:nlev], vm_g[:nlev])
@@ -263,6 +295,14 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
                               axis=0)
     dn_prof = jnp.concatenate([jnp.zeros((1, ng, ncol), dtype),
                                fdn_hist.sum(1)], axis=0)
+    return _lw_finish(cfg, up_prof, dn_prof, trans, um_g, rc, tc, suc,
+                      sdc, emission, albedo, tcc)
+
+
+def _lw_finish(cfg, up_prof, dn_prof, trans, um_g, rc, tc, suc, sdc,
+               emission, albedo, tcc):
+    """LW derivatives + clear-sky adding (shared by the Pallas-kernel
+    and lax.scan sweep paths)."""
     total = LwFluxes(up=up_prof, dn=dn_prof)
 
     extras = {}

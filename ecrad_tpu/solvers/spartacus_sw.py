@@ -252,6 +252,52 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
         cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g,
         clear_g, use_pallas_default())
 
+    clear_next = jnp.concatenate(
+        [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
+    # direct0: (nreg, ng, ncol)
+    direct0 = incoming_sw.T[None] * reg_fracs[:, 0].T[:, None, :]
+
+    # On TPU the two sequential adding sweeps run as fused Pallas
+    # kernels with the scan carry resident in VMEM
+    # (ops/spartacus_adding.py); the lax.scan path below is the CPU
+    # fallback and the entrapment-diagnostics path.
+    # ECRAD_SPARTACUS_ADDING=scan|kernel|interpret overrides (tests).
+    import os
+    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
+    use_kernel = (use_pallas_default() if mode == ""
+                  else mode in ("kernel", "interpret"))
+    if use_kernel and not cfg.do_print_entrapment_data:
+        from ..ops.spartacus_adding import pack_cols, sw_adding_sweeps
+        hist = jnp.concatenate(
+            [x.reshape(nlev, nreg * nreg, ng, ncol)
+             for x in (R_h, T_h, RD_h, TD_h, TDD_h)], axis=1)
+        cols = pack_cols(
+            um_g, vm_g, jnp.moveaxis(cloud.fraction, 1, 0),
+            jnp.moveaxis(dz, 1, 0),
+            jnp.moveaxis(x_layer_diffuse, 1, 0),
+            jnp.moveaxis(x_layer_direct, 1, 0),
+            jnp.moveaxis(edge_prev, 0, 1), inv_eff_prev.T,
+            overlap_prev.T, jnp.moveaxis(reg_fracs, 0, 1),
+            jnp.moveaxis(jnp.concatenate(
+                [reg_fracs[:, :1], reg_fracs[:, :-1]], axis=1), 0, 1),
+            clear_g, clear_prev_g, jnp.moveaxis(clear_next, 1, 0),
+            not_top, tan_sza)
+        init_up = jnp.concatenate(
+            [alb0.reshape(nreg * nreg, ng, ncol),
+             albdir0.reshape(nreg * nreg, ng, ncol)], axis=0)
+        alb_top, albdir_top, ys_up18, dn9 = sw_adding_sweeps(
+            cfg, hist, cols, init_up, direct0,
+            interpret=(mode == "interpret"))
+        fup0 = mv_g(albdir_top, direct0)
+        fup_hist = dn9[:, 0:3]
+        fdn_hist = dn9[:, 3:6]
+        ddn_hist = dn9[:, 6:9]
+        total, clear, tcc = _sw_finish(
+            cfg, fup0, fup_hist, fdn_hist, ddn_hist, direct0, mu0,
+            cos_sza, incoming_sw, albedo_diffuse, albedo_direct,
+            rc, tc, rdc, tdc, tddc, tcc)
+        return total, clear, tcc, {}
+
     # Per-level inputs in natural TOA->surface order; the upward scan
     # runs with reverse=True (surface first), so no flip copies are
     # ever materialized, and its per-level outputs land at the right
@@ -358,12 +404,8 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     entrap_hist = ys_up[2:]            # (x_dir, x_diff) when captured
 
     # ---------------- downward pass ---------------------------------------
-    # direct0: (nreg, ng, ncol)
-    direct0 = incoming_sw.T[None] * reg_fracs[:, 0].T[:, None, :]
     fup0 = mv_g(albdir_top, direct0)
 
-    clear_next = jnp.concatenate(
-        [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
     fields_dn = (R_h, T_h, TD_h, TDD_h,
                  alb_below_layer, albdir_below_layer,
                  clear_g, jnp.moveaxis(clear_next, 1, 0), vm_g[1:])
@@ -401,6 +443,23 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     (fup_hist, fdn_hist, ddn_hist) = ys_dn[:3]
     entrap_hist = entrap_hist + ys_dn[3:]
 
+    total, clear, tcc = _sw_finish(
+        cfg, fup0, fup_hist, fdn_hist, ddn_hist, direct0, mu0, cos_sza,
+        incoming_sw, albedo_diffuse, albedo_direct, rc, tc, rdc, tdc,
+        tddc, tcc)
+    extras = {}
+    if cfg.do_print_entrapment_data:
+        # (x_direct, x_diffuse, direct_dn, flux_dn), each (nlev, nreg,
+        # ncol) at g-point 1 — the reference's fort.101/fort.102 data
+        extras["entrapment_data"] = tuple(entrap_hist)
+    return total, clear, tcc, extras
+
+
+def _sw_finish(cfg, fup0, fup_hist, fdn_hist, ddn_hist, direct0, mu0,
+               cos_sza, incoming_sw, albedo_diffuse, albedo_direct,
+               rc, tc, rdc, tdc, tddc, tcc):
+    """Flux profiles + clear-sky adding + daylight masking (shared by
+    the Pallas-kernel and lax.scan sweep paths)."""
     def profile(top, hist):
         # top (nreg, ng, ncol); hist (nlev, nreg, ng, ncol)
         # -> g-first (nlev+1, ng, ncol)
@@ -424,12 +483,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     total = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in total))
     clear = SwFluxes(*(jnp.where(daylight, f, 0.0) for f in clear))
     tcc = jnp.where(cos_sza > 1.0e-10, tcc, -1.0)
-    extras = {}
-    if cfg.do_print_entrapment_data:
-        # (x_direct, x_diffuse, direct_dn, flux_dn), each (nlev, nreg,
-        # ncol) at g-point 1 — the reference's fort.101/fort.102 data
-        extras["entrapment_data"] = tuple(entrap_hist)
-    return total, clear, tcc, extras
+    return total, clear, tcc
 
 
 def _step_migrations(cfg, nreg, cloud_frac, dz, tan_sza, R, T, RD, TDD,
