@@ -103,14 +103,40 @@ def check_spartacus_reftrans():
     use3d = use3d.at[0].set(False)          # a no-3D level hits skip()
     clear = jnp.asarray(rng.rand(nlev, ncol) > 0.7)
 
+    # f64 CPU truth for this exact case (tools/diag_ke_f64.py). The
+    # direct-reflectance and LW source outputs amplify backend
+    # transcendental ULP differences (Meador-Weaver k*mu0 resonance
+    # 1/(1-k^2 mu0^2) capped at ~1e6, Planck-difference cancellation),
+    # so Mosaic-vs-XLA disagreement up to ~1e-4 there is NOT a kernel
+    # bug; the meaningful gate is that the kernel sits as close to the
+    # f64 truth as the XLA fallback does.
+    truth_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tests",
+        "goldens", "ke_spartacus_f64.npz")
+    truth = np.load(truth_path) if os.path.exists(truth_path) else None
+
     def cmp(name, a, b, tol):
         a = np.asarray(a)
         b = np.asarray(b)
-        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
-        print(f"{name}: rel err {err:.2e}  "
-              f"{'OK' if err < tol else 'FAIL'}")
-        if not err < tol:
-            FAILURES.append(name)
+        scale = max(np.abs(b).max(), 1e-30)
+        err = np.abs(a - b).max() / scale
+        key = name.replace("spartacus_", "")
+        if err < tol:
+            print(f"{name}: rel err {err:.2e}  OK")
+            return
+        if truth is not None and key in truth.files:
+            t = truth[key]
+            kerr = np.abs(a - t).max() / scale
+            ferr = np.abs(b - t).max() / scale
+            ok = kerr <= max(tol, 2.0 * ferr)
+            print(f"{name}: rel err {err:.2e} kernel_vs_f64 "
+                  f"{kerr:.2e} fallback_vs_f64 {ferr:.2e}  "
+                  f"{'OK' if ok else 'FAIL'}")
+            if not ok:
+                FAILURES.append(name)
+            return
+        print(f"{name}: rel err {err:.2e}  FAIL")
+        FAILURES.append(name)
 
     # all arrays as traced jit ARGUMENTS: a closed-over fallback side
     # could be constant-folded by the HLO evaluator off-device,
