@@ -82,6 +82,12 @@ def _diag(M):
     return jnp.stack([M[i, i] for i in range(M.shape[0])], 0)
 
 
+def _flat9(M):
+    """(3, 3, S, L) -> (9, S, L) by explicit stack (Mosaic cannot
+    lower the leading-dim-merge shape cast of reshape)."""
+    return jnp.stack([M[i, j] for i in range(3) for j in range(3)], 0)
+
+
 def _diag_mat(v):
     zero = jnp.zeros_like(v[0])
     return jnp.stack([
@@ -106,6 +112,101 @@ def _zero_cloudy_vec(x, is_clear):
                    for i in range(1, x.shape[0])], 0)
 
 
+def _step_migrations_k(cfg, cf, R, T, RD, TDD, TD, alb, albdir,
+                       x_diffuse, x_direct, xld, xldir):
+    """Kernel-layout transcription of
+    solvers/spartacus_sw.py _step_migrations: per-column scalars as
+    (1, L) rows (rank >= 2 everywhere — Mosaic rejects the rank-1
+    shape casts of the original's [None, None, :] indexing), matrices
+    (3, 3, S, L), vectors (3, S, L). Equality with the original is
+    asserted by tests/test_spartacus_adding.py."""
+    xl_diff = xld[None]                    # (1, 1, L)
+    xl_dir = xldir[None]
+    Rd = _diag(R)
+    Td = _diag(T)
+    RDd = _diag(RD)
+    TDDd = _diag(TDD)
+    TDd = _diag(TD)
+    Ad = _diag(alb)
+    ADd = _diag(albdir)
+
+    ms = Td / jnp.maximum(1.0 - Rd * Ad, 1e-12)
+    x_enh = jnp.maximum(1.0 - Rd * Ad, 1e-12) ** (-1.5)
+
+    top_alb_dir = jnp.maximum(1e-8, RDd + ms * (TDd * Ad + TDDd * ADd))
+    x_dir_new = jnp.maximum(0.0, xl_dir + (
+        (TDd * Ad * x_enh + TDDd * ADd * (x_enh - 1.0))
+        * (x_diffuse + xl_diff)
+        + TDDd * ADd * (x_direct + xl_dir)) * Td / top_alb_dir)
+
+    top_alb = jnp.maximum(1e-8, Rd + ms * Td * Ad)
+    x_diff_new = xl_diff + x_enh * Ad * Td * Td * (
+        x_diffuse + xl_diff) / top_alb
+
+    # region activity (cloud_frac bounds): region 0 active when not
+    # overcast, cloudy regions active when any cloud
+    act = (cf < 1.0, cf > 0.0, cf > 0.0)   # (1, L) each
+    x_dir_new = jnp.concatenate(
+        [jnp.where(act[r], x_dir_new[r:r + 1], 0.0) for r in range(3)],
+        axis=0)
+    x_diff_new = jnp.concatenate(
+        [jnp.where(act[r], x_diff_new[r:r + 1], 0.0) for r in range(3)],
+        axis=0)
+    return x_diff_new, x_dir_new
+
+
+def _explicit_entrapment_k(cfg, nreg, alb_below, x_migration, vm, um,
+                           c):
+    """Kernel-layout transcription of
+    solvers/spartacus_sw.py _explicit_entrapment: per-column rows from
+    the packed cols block ((1, L) each), alb_below (3, 3, S, L),
+    x_migration (3, S, L), vm/um (3, 3, 1, L). Equality with the
+    original is asserted by tests/test_spartacus_adding.py."""
+    from ..solvers.matrix import fast_expm_exchange_3_g
+    entrap_total = 0.0
+    inv_eff = jnp.minimum(c[_INVEFF],
+                          1.0 / cfg.min_cloud_effective_size)  # (1, L)
+    not_top = c[_NOTTOP] > 0.5
+    overlap_lev = c[_OVP]
+    for jreg2 in range(nreg):
+        f_this = c[_RF + jreg2]
+        f_prev = c[_RFP + jreg2]
+        transfer_scaling = 1.0 - (1.0 - cfg.overhang_factor) \
+            * overlap_lev * jnp.minimum(f_this, f_prev) \
+            / jnp.maximum(cfg.cloud_fraction_threshold, f_this)
+        transfer_scaling = jnp.where(not_top, transfer_scaling, 0.0)
+
+        rates = []
+        for jreg in range(nreg - 1):
+            r_fwd = transfer_scaling * c[_EDGE + jreg] \
+                / jnp.maximum(um[jreg, jreg2], 1e-5)
+            r_bwd = transfer_scaling * c[_EDGE + jreg] \
+                / jnp.maximum(um[jreg + 1, jreg2], 1e-5)
+            rates.append((r_fwd, r_bwd))
+
+        x2 = x_migration[jreg2]            # (S, L)
+        if cfg.i_3d_sw_entrapment == Entrapment.EXPLICIT:
+            fractal = 1.0 / jnp.sqrt(jnp.maximum(
+                1.0, 2.5 * x2 * inv_eff))
+        else:
+            fractal = 1.0
+        a = rates[0][0] * x2 * fractal     # entrapment(2,1)
+        b = rates[0][1] * x2 * fractal     # entrapment(1,2)
+        cc = rates[1][0] * x2 * fractal
+        d = rates[1][1] * x2 * fractal
+        max_entr = jnp.maximum(a, b + cc)
+        scale = jnp.where(max_entr > cfg.max_cloud_od,
+                          cfg.max_cloud_od
+                          / jnp.maximum(max_entr, 1e-12), 1.0)
+        a, b, cc, d = a * scale, b * scale, cc * scale, d * scale
+        Pg = fast_expm_exchange_3_g(a, b, cc, d)   # (3, 3, S, L)
+
+        albdiag = alb_below[jreg2, jreg2]          # (S, L)
+        contrib = Pg * vm[jreg2][None] * albdiag[None, None]
+        entrap_total = entrap_total + contrib
+    return entrap_total
+
+
 def sw_up_step(cfg, carry, hist, cols):
     """One upward-sweep level in kernel-safe form.
 
@@ -115,11 +216,9 @@ def sw_up_step(cfg, carry, hist, cols):
     Returns (new_carry, ys (18, S, L) = carry's alb/albdir at entry).
     Semantics identical to solvers/spartacus_sw.py up_body.
     """
-    from ..solvers.spartacus_sw import (_explicit_entrapment,
-                                        _step_migrations)
     entrap = cfg.i_3d_sw_entrapment
     nreg = 3
-    c = [cols[i][None, :] for i in range(NCOLROWS)]   # (1, L) rows
+    c = [cols[i:i + 1] for i in range(NCOLROWS)]   # (1, L) rows
 
     alb = _unpack_mats(carry, 0)
     albdir = _unpack_mats(carry, 9)
@@ -135,16 +234,13 @@ def sw_up_step(cfg, carry, hist, cols):
     um = _mat(c, _UM)
     vm = _mat(c, _VM)
     vm_t = _mat_t(c, _VM)
-    cl_l = c[_CLEAR][0] > 0.5                 # (L,)
-    cl_prev = c[_CLEARP][0] > 0.5
-    is_clear = cl_l[None, :]                  # (1, L) broadcast vs (S, L)
-    both_clear = (cl_l & cl_prev)[None, :]
+    is_clear = c[_CLEAR] > 0.5                # (1, L)
+    both_clear = is_clear & (c[_CLEARP] > 0.5)
 
     if entrap in (Entrapment.EXPLICIT, Entrapment.EXPLICIT_NON_FRACTAL):
-        x_diff, x_dir = _step_migrations(
-            cfg, nreg, c[_CF][0], c[_DZ][0], c[_TANSZA][0], R, T, RD,
-            TDD, TD, alb, albdir, x_diff, x_dir, c[_XLD][0],
-            c[_XLDIR][0])
+        x_diff, x_dir = _step_migrations_k(
+            cfg, c[_CF], R, T, RD, TDD, TD, alb, albdir, x_diff,
+            x_dir, c[_XLD], c[_XLDIR])
 
     denom = add_eye_g(-mm_gu(alb, R), 1.0)
     rhs = jnp.concatenate(
@@ -159,9 +255,9 @@ def sw_up_step(cfg, carry, hist, cols):
         mixed = mm_gu(mm_gu(um, alb_below), vm)
         mixed_dir = mm_gu(mm_gu(um, albdir_below), vm)
     elif entrap == Entrapment.ZERO:
-        col_sum = alb_below.sum(axis=0)
+        col_sum = alb_below[0] + alb_below[1] + alb_below[2]
         mixed = _diag_mat(mv_gu(vm_t, col_sum))
-        col_sum_d = albdir_below.sum(axis=0)
+        col_sum_d = albdir_below[0] + albdir_below[1] + albdir_below[2]
         mixed_dir = _diag_mat(mv_gu(vm_t, col_sum_d))
     else:
         offdiag = alb_below - _diag_mat(_diag(alb_below))
@@ -173,18 +269,10 @@ def sw_up_step(cfg, carry, hist, cols):
             mixed_dir = mixed_dir + _diag_mat(
                 mv_gu(vm_t, _diag(albdir_below)))
         else:
-            edge_prev = jnp.stack([c[_EDGE + i][0] for i in range(3)],
-                                  -1)             # (L, 3)
-            rf_l = jnp.stack([c[_RF + i][0] for i in range(3)], -1)
-            rf_prev = jnp.stack([c[_RFP + i][0] for i in range(3)], -1)
-            mixed = mixed + _explicit_entrapment(
-                cfg, nreg, alb_below, x_diff, vm, um, edge_prev,
-                c[_INVEFF][0], c[_OVP][0], rf_l, rf_prev,
-                c[_NOTTOP][0] > 0.5, alb.dtype)
-            mixed_dir = mixed_dir + _explicit_entrapment(
-                cfg, nreg, albdir_below, x_dir, vm, um, edge_prev,
-                c[_INVEFF][0], c[_OVP][0], rf_l, rf_prev,
-                c[_NOTTOP][0] > 0.5, alb.dtype)
+            mixed = mixed + _explicit_entrapment_k(
+                cfg, nreg, alb_below, x_diff, vm, um, c)
+            mixed_dir = mixed_dir + _explicit_entrapment_k(
+                cfg, nreg, albdir_below, x_dir, vm, um, c)
 
     alb_keep = jnp.where(both_clear, alb_below, mixed)
     albdir_keep = jnp.where(both_clear, albdir_below, mixed_dir)
@@ -197,9 +285,7 @@ def sw_up_step(cfg, carry, hist, cols):
 
     ys = carry[:18]
     new_carry = jnp.concatenate(
-        [alb_keep.reshape((9,) + alb_keep.shape[2:]),
-         albdir_keep.reshape((9,) + albdir_keep.shape[2:]),
-         x_diff, x_dir], axis=0)
+        [_flat9(alb_keep), _flat9(albdir_keep), x_diff, x_dir], axis=0)
     return new_carry, ys
 
 
@@ -208,7 +294,7 @@ def sw_dn_step(cfg, carry, hist, ys_up, cols):
     ys_up (18, S, L) [alb_below 9 | albdir_below 9]. Returns
     (new_carry, out (9, S, L) = [fup | fdn | ddn] above this layer).
     Semantics identical to solvers/spartacus_sw.py dn_body."""
-    c = [cols[i][None, :] for i in range(NCOLROWS)]
+    c = [cols[i:i + 1] for i in range(NCOLROWS)]
     flux_dn = carry[0:3]
     direct_dn = carry[3:6]
 
@@ -219,10 +305,8 @@ def sw_dn_step(cfg, carry, hist, ys_up, cols):
     alb_b = _unpack_mats(ys_up, 0)
     albdir_b = _unpack_mats(ys_up, 9)
     vm_next = _mat(c, _VMN)
-    cl_l = c[_CLEAR][0] > 0.5
-    cl_next = c[_CLEARN][0] > 0.5
-    is_clear = cl_l[None, :]
-    both_clear = (cl_l & cl_next)[None, :]
+    is_clear = c[_CLEAR] > 0.5
+    both_clear = is_clear & (c[_CLEARN] > 0.5)
 
     source_dn = mv_gu(TD, direct_dn)
     direct_above = mv_gu(TDD, direct_dn)
@@ -404,7 +488,7 @@ def lw_up_step(cfg, use_matrix, carry, hist, cols):
     """One LW upward-sweep level: carry (12, S, L) [alb 9 | src 3];
     hist (24, S, L) [R 9 | T 9 | SU 3 | SD 3].
     Semantics identical to solvers/spartacus_lw.py up_body."""
-    c = [cols[i][None, :] for i in range(LW_NCOLROWS)]
+    c = [cols[i:i + 1] for i in range(LW_NCOLROWS)]
     alb = _unpack_mats(carry, 0)
     src = carry[9:12]
     R = _unpack_mats(hist, 0)
@@ -414,10 +498,8 @@ def lw_up_step(cfg, use_matrix, carry, hist, cols):
     um = _mat(c, _LUM)
     vm = _mat(c, _LVM)
     vm_t = _mat_t(c, _LVM)
-    cl_l = c[_LCLEAR][0] > 0.5
-    cl_prev = c[_LCLEARP][0] > 0.5
-    is_clear = cl_l[None, :]
-    both_clear = (cl_l & cl_prev)[None, :]
+    is_clear = c[_LCLEAR] > 0.5
+    both_clear = is_clear & (c[_LCLEARP] > 0.5)
 
     if use_matrix:
         denom = add_eye_g(-mm_gu(alb, R), 1.0)
@@ -443,8 +525,7 @@ def lw_up_step(cfg, use_matrix, carry, hist, cols):
     src_new = jnp.where(both_clear, src_below, src_mixed)
 
     ys = carry
-    new_carry = jnp.concatenate(
-        [alb_new.reshape((9,) + alb_new.shape[2:]), src_new], axis=0)
+    new_carry = jnp.concatenate([_flat9(alb_new), src_new], axis=0)
     return new_carry, ys
 
 
@@ -453,7 +534,7 @@ def lw_dn_step(cfg, use_matrix, carry, hist, ys_up, cols):
     ys_up (12, S, L) [alb_below 9 | src_below 3]. Returns
     (new_carry = fdn_out, out (6, S, L) = [fup_above | fdn_out]).
     Semantics identical to solvers/spartacus_lw.py dn_body."""
-    c = [cols[i][None, :] for i in range(LW_NCOLROWS)]
+    c = [cols[i:i + 1] for i in range(LW_NCOLROWS)]
     flux_dn = carry
     R = _unpack_mats(hist, 0)
     T = _unpack_mats(hist, 9)
@@ -461,10 +542,8 @@ def lw_dn_step(cfg, use_matrix, carry, hist, ys_up, cols):
     alb_b = _unpack_mats(ys_up, 0)
     src_b = ys_up[9:12]
     vm_next = _mat(c, _LVMN)
-    cl_l = c[_LCLEAR][0] > 0.5
-    cl_next = c[_LCLEARN][0] > 0.5
-    is_clear = cl_l[None, :]
-    both_clear = (cl_l & cl_next)[None, :]
+    is_clear = c[_LCLEAR] > 0.5
+    both_clear = is_clear & (c[_LCLEARN] > 0.5)
 
     if use_matrix:
         denom = add_eye_g(-mm_gu(R, alb_b), 1.0)
