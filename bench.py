@@ -67,9 +67,13 @@ def bench_solver(solver, inputs, baselines):
                           i_solver_lw=solver_enum, **kwargs)
     setup = setup_radiation(cfg)
 
-    # 2048 columns by default; SPARTACUS stores per-layer region-coupled
-    # matrices ((nlev, 3, 3, ncol, ng) histories) so it benches at 512
-    default_tile = "16" if solver == "SPARTACUS" else "64"
+    # 2048 columns for all solvers. Round 4's fused adding-sweep
+    # kernels changed the SPARTACUS batch calculus: 512 was fastest
+    # when the scans were VPU-bound XLA ops (round 2/3), but with the
+    # sweeps in VMEM-resident Pallas kernels the measured curve is
+    # 256: 4485, 512: 5951, 1024: 6402, 2048: 6680 cols/s (histories
+    # at 2048 cols are ~5.7 GB of the 16 GB HBM).
+    default_tile = "64"
     factor = int(os.environ.get("ECRAD_BENCH_TILE", default_tile))
     batch = tile_columns(inputs, factor)
     ncol = batch[0].cos_sza.shape[0]
