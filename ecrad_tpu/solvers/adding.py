@@ -19,8 +19,21 @@ TOA first (ecRad orientation).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_fused():
+    """TPU: run the g-first sequential sweeps as fused Pallas kernels
+    (ops/adding_fused.py). ECRAD_ADDING=scan|kernel|interpret
+    overrides (tests)."""
+    mode = os.environ.get("ECRAD_ADDING", "")
+    if mode == "":
+        from ..ops.gather_interp import use_pallas_default
+        return use_pallas_default(), False
+    return mode in ("kernel", "interpret"), mode == "interpret"
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +164,14 @@ def _gvec(x):
 
 def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
                           albedo_surf, gfirst=False):
+    if gfirst:
+        fused, interp = _use_fused()
+        if fused:
+            from ..ops.adding_fused import adding_lw_fused
+            return adding_lw_fused(ref, trans, src_up, src_dn,
+                                   emission_surf, albedo_surf,
+                                   interpret=interp)
+
     def up_body(carry, x):
         albedo_below, source_below = carry
         r, t, su, sd = x
@@ -191,6 +212,11 @@ def _adding_lw_sequential(ref, trans, src_up, src_dn, emission_surf,
 def _affine_seq(a, b, x0, reverse=False, gfirst=False):
     """Sequential counterpart of _affine_scan (lax.scan over levels)."""
     if gfirst:
+        fused, interp = _use_fused()
+        if fused:
+            from ..ops.adding_fused import affine_fused
+            return affine_fused(a, b, x0, reverse=reverse,
+                                interpret=interp)
         a_s, b_s, x0_g = a, b, x0
     else:
         a_s = _to_gfirst(a)
@@ -296,6 +322,13 @@ def _adding_sw_sequential(ref, trans, ref_dir, trans_dir_diff,
     if gfirst:
         inc_g = incoming_toa
         cs_g = jnp.asarray(cs).reshape(1, -1)   # (1, ncol)
+        fused, interp = _use_fused()
+        if fused:
+            from ..ops.adding_fused import adding_sw_fused
+            return adding_sw_fused(ref, trans, ref_dir, trans_dir_diff,
+                                   trans_dir_dir, inc_g,
+                                   albedo_diffuse, albedo_direct, cs_g,
+                                   interpret=interp)
     else:
         inc_g = _gvec(incoming_toa)
         cs_g = _gvec(cs)                        # (1, ...) vs (ng, ...)
