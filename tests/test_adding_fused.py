@@ -86,3 +86,39 @@ def test_lw_no_scattering_fused(rnd):
     got = _with_mode(
         "interpret", lambda: lw_no_scattering_fluxes(*args, gfirst=True))
     _cmp(got, ref)
+
+
+def test_tripleclouds_fused_matches_scan():
+    """Tripleclouds fused region sweeps (tc_sw_sweeps / tc_lw_sweeps)
+    vs the production lax.scan over the full radiation() path."""
+    import jax
+    from ecrad_tpu.config import Solver, load_config_from_namelist
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+
+    path = "/root/reference/test/ifs/ecrad_meridian.nc"
+    if not os.path.exists(path):
+        pytest.skip("reference inputs unavailable")
+    inputs = read_input(path)
+    ncol0 = inputs[0].cos_sza.shape[0]
+
+    def sub(tree, n=16):
+        return jax.tree.map(
+            lambda x: x[:n] if hasattr(x, "ndim") and x.ndim >= 1
+            and x.shape[0] == ncol0 else x, tree)
+
+    inputs = tuple(sub(t) for t in inputs)
+    cfg = load_config_from_namelist(
+        "/root/reference/test/ifs/configCY47R1.nam",
+        directory_name="/root/reference/data",
+        do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+        do_canopy_fluxes_lw=False, i_solver_sw=Solver.TRIPLECLOUDS,
+        i_solver_lw=Solver.TRIPLECLOUDS, do_lw_derivatives=True)
+    setup = setup_radiation(cfg)
+    ref = _with_mode("scan", lambda: radiation(setup, *inputs))
+    got = _with_mode("interpret", lambda: radiation(setup, *inputs))
+    for key in ("lw_up", "lw_dn", "sw_up", "sw_dn", "sw_dn_direct"):
+        a = np.asarray(getattr(ref, key))
+        b = np.asarray(getattr(got, key))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert rel < 2e-5, f"{key}: rel {rel:.2e}"
