@@ -466,7 +466,7 @@ def _radiation_oriented(setup: RadiationSetup, single_level: SingleLevel,
                     sw_dn_direct_surf_clear_band=_indexed_band_sum(
                         _surf_g(sw_clear.dn_direct), band_g, 14),
                 )
-        if cfg.i_solver_sw != Solver.CLOUDLESS:
+        if cfg.i_solver_sw != Solver.CLOUDLESS and cloud_props is not None:
             flux = flux.replace(**extras_sw)
         if cfg.do_canopy_fluxes_sw:
             if cfg.use_canopy_full_spectrum_sw:

@@ -107,17 +107,20 @@ def level_sweep(step, xs, init, ys_rows, reverse=False,
 
     out_specs = []
     out_shapes = []
+    # dtype follows the carry so forcing the kernel path under
+    # jax_enable_x64 (the f64 validation workflow) stays f64
+    dt = init.dtype
     for r in ys_rows:
         if r:
             out_specs.append(pl.BlockSpec((1, r, ng, _LB), lmap4,
                                           memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(
-                (nlev, r, ng, ncol_pad), jnp.float32))
+                (nlev, r, ng, ncol_pad), dt))
         else:
             out_specs.append(pl.BlockSpec((1, ng, _LB), lmap3,
                                           memory_space=pltpu.VMEM))
             out_shapes.append(jax.ShapeDtypeStruct(
-                (nlev, ng, ncol_pad), jnp.float32))
+                (nlev, ng, ncol_pad), dt))
 
     outs = pl.pallas_call(
         kernel,
@@ -132,7 +135,7 @@ def level_sweep(step, xs, init, ys_rows, reverse=False,
         + [pl.BlockSpec((k, ng, _LB), lambda c, l: (0, 0, c),
                         memory_space=pltpu.VMEM)],
         out_shape=out_shapes
-        + [jax.ShapeDtypeStruct((k, ng, ncol_pad), jnp.float32)],
+        + [jax.ShapeDtypeStruct((k, ng, ncol_pad), dt)],
     )(*xs, *col_xs, init)
     ys = [o[..., :ncol] for o in outs[:n_ys]]
     return ys, outs[n_ys][..., :ncol]

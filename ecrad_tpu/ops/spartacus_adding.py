@@ -419,8 +419,8 @@ def sw_adding_sweeps(cfg, hist, cols, init_up, direct0,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nlev, 18, ng, ncol_pad),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((24, ng, ncol_pad), jnp.float32),
+                                 hist.dtype),
+            jax.ShapeDtypeStruct((24, ng, ncol_pad), hist.dtype),
         ],
     )(hist, cols, init_up)
 
@@ -459,8 +459,8 @@ def sw_adding_sweeps(cfg, hist, cols, init_up, direct0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nlev, 9, ng, ncol_pad), jnp.float32),
-            jax.ShapeDtypeStruct((6, ng, ncol_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nlev, 9, ng, ncol_pad), hist.dtype),
+            jax.ShapeDtypeStruct((6, ng, ncol_pad), hist.dtype),
         ],
     )(hist, ys_up, cols, direct0)
 
@@ -567,7 +567,7 @@ def lw_dn_step(cfg, use_matrix, carry, hist, ys_up, cols):
 def lw_pack_cols(um_g, vm_g, clear, clear_prev, clear_next):
     """(nlev, LW_NCOLROWS, ncol) per-column LW kernel input."""
     nlev, ncol = clear.shape[0], clear.shape[1]
-    dt = jnp.float32
+    dt = um_g.dtype
 
     def rows9(m):
         return m[:, :, :, 0, :].reshape(nlev, 9, ncol).astype(dt)
@@ -634,8 +634,8 @@ def lw_adding_sweeps(cfg, use_matrix, hist, cols, init_up,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nlev, 12, ng, ncol_pad),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((12, ng, ncol_pad), jnp.float32),
+                                 hist.dtype),
+            jax.ShapeDtypeStruct((12, ng, ncol_pad), hist.dtype),
         ],
     )(hist, cols, init_up)
 
@@ -671,8 +671,8 @@ def lw_adding_sweeps(cfg, use_matrix, hist, cols, init_up,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nlev, 6, ng, ncol_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, ng, ncol_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nlev, 6, ng, ncol_pad), hist.dtype),
+            jax.ShapeDtypeStruct((3, ng, ncol_pad), hist.dtype),
         ],
     )(hist, ys_up, cols)
 

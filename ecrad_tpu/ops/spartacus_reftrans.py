@@ -36,8 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..solvers import two_stream as ts
-from ..solvers.matrix import (_THETA3, add_eye_g, expm_g, expm_sw_g,
-                              mm_gu, mv_gu, solve_g, solve_vec_g)
+from ..solvers.matrix import (_THETA_DBL, add_eye_g, expm_reftrans_lw_g,
+                              expm_reftrans_sw_g, mm_gu, mv_gu, solve_g,
+                              solve_vec_g)
 
 # Cap on od/mu0 entering the Gamma direct block. exp(-60) = 8.8e-27 —
 # zero at f32 flux resolution — but an uncapped diagonal (od/mu0 can
@@ -80,19 +81,22 @@ def _zero_cloudy_vec(x, is_clear):
 
 
 def sw_fixed_squarings(cfg) -> int:
-    """Static Pade squaring count from the capped SW Gamma 1-norm."""
+    """Static adding-doubling step count from the capped SW Gamma
+    1-norm (theta is the doubling-form theta3/4; see matrix.py
+    expm_reftrans_sw_g)."""
     mc = float(cfg.max_cloud_od)
     mt = float(cfg.max_3d_transfer_rate)
     bound = max(2.0 * mc + 4.0 * mt, MAX_OD_OVER_MU0_3D + mc + 2.0 * mt)
-    return max(0, math.ceil(math.log2(bound / _THETA3)))
+    return max(0, math.ceil(math.log2(bound / _THETA_DBL)))
 
 
 def lw_fixed_squarings(cfg) -> int:
-    """Static Pade squaring count from the capped LW Gamma 1-norm."""
+    """Static adding-doubling step count from the capped LW Gamma
+    1-norm (doubling-form theta; see matrix.py expm_reftrans_lw_g)."""
     mc = float(cfg.max_cloud_od)
     mt = float(cfg.max_3d_transfer_rate)
     bound = (LW_DIFFUSIVITY + 0.83) * mc + 2.0 * 1.4107 * mt
-    return max(0, math.ceil(math.log2(bound / _THETA3)))
+    return max(0, math.ceil(math.log2(bound / _THETA_DBL)))
 
 
 # =========================================================================
@@ -169,19 +173,19 @@ def sw_gamma_expm(cfg, nreg, mu0, od_rg, ssa_rg, g_rg, trd, trf,
         Gc = jnp.where(use3d, Gc, 0.0)
         Gd = jnp.where(use3d, Gd, 0.0)
 
-    Em, Ec, Ed = expm_sw_g(Gm, Gc, Gd, fixed_squarings=fixed_squarings)
-    tdd = jnp.clip(Ed, 0.0, 1.0)
-    A = Em[:nreg, :nreg]
-    B = Em[:nreg, nreg:]
-    C = Ec[:nreg]
-    # one LU factorization of A for both right-hand-side families
-    X = solve_g(A, jnp.concatenate([B, C], axis=1))
-    ref = jnp.clip(-X[:, :nreg], 0.0, 1.0)
-    refdir = jnp.clip(-X[:, nreg:], 0.0, mu0)
-    trans = jnp.clip(mm_gu(Em[nreg:, :nreg], ref) + Em[nreg:, nreg:],
-                     0.0, 1.0)
-    tdiff = jnp.clip(mm_gu(Em[nreg:, :nreg], refdir) + Ec[nreg:],
-                     0.0, mu0)
+    # Adding-doubling (matrix.py expm_reftrans_sw_g) instead of the
+    # -A^-1 B extraction on the full-layer exponential — same
+    # conditioning rationale as the LW path (see lw_gamma_expm); the
+    # round-4 TPU-specific SW loss (2.09 vs 0.10 W/m2 against f64
+    # truth) was this extraction amplifying backend transcendental /
+    # reduction-order ULP differences by ~e^{2||G||}.
+    R, T, Rdir, Tdir, Tdd = expm_reftrans_sw_g(
+        Gm, Gc, Gd, fixed_doublings=fixed_squarings)
+    ref = jnp.clip(R, 0.0, 1.0)
+    trans = jnp.clip(T, 0.0, 1.0)
+    refdir = jnp.clip(Rdir, 0.0, mu0)
+    tdiff = jnp.clip(Tdir, 0.0, mu0)
+    tdd = jnp.clip(Tdd, 0.0, 1.0)
     return ref, trans, refdir, tdiff, tdd
 
 
@@ -201,10 +205,13 @@ _OFFD = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
 
 def _sw_cells(fc, nreg, cfg, fixed_sq):
     """Full per-cell SW pipeline on a packed (SW_NF, B) tile; returns
-    the (SW_NOUT, B) stacked output rows."""
-    od = fc[0:3]
-    ssa = fc[3:6]
-    gg = fc[6:9]
+    the (SW_NOUT, B) stacked output rows. Row offsets follow the
+    _pack_sw layout: nreg od + nreg ssa + nreg g + 6 trd + 6 trf
+    (zero-padded beyond the 2 off-diagonals when nreg == 2) + mu0 +
+    use3d + clear."""
+    od = fc[0:nreg]
+    ssa = fc[nreg:2 * nreg]
+    gg = fc[2 * nreg:3 * nreg]
 
     def offd(base):
         m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
@@ -213,11 +220,12 @@ def _sw_cells(fc, nreg, cfg, fixed_sq):
             m[i][j] = fc[base + k]
         return jnp.stack([jnp.stack(r, 0) for r in m], 0)
 
-    trd = offd(9)
-    trf = offd(15)
-    mu0 = fc[21]
-    use3d = fc[22] > 0.5
-    clear = fc[23] > 0.5
+    b0 = 3 * nreg
+    trd = offd(b0)
+    trf = offd(b0 + 6)
+    mu0 = fc[b0 + 12]
+    use3d = fc[b0 + 13] > 0.5
+    clear = fc[b0 + 14] > 0.5
 
     od_capped = jnp.concatenate(
         [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
@@ -263,7 +271,7 @@ def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
                           trd_l[None], trf_l[None], mu0, u3_l[None],
                           cl_l[None], ng, ncol)[0]
             out = _sw_cells(fc, nreg, cfg, None)
-            return None, out.reshape(SW_NOUT, ng, ncol)
+            return None, out.reshape(5 * nreg * nreg, ng, ncol)
 
         _, hist = jax.lax.scan(
             body, None, (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g,
@@ -281,7 +289,9 @@ def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
     # batch as 2-D (sublane, lane) tiles: a rank-1 (TILE,) vector
     # occupies 1 of 8 sublanes per vreg — 8x VPU waste
     rows = _TILE // 128
-    fc = fc.reshape(nlev, SW_NF, n_pad // 128, 128)
+    nf = fc.shape[1]
+    nout = 5 * nreg * nreg
+    fc = fc.reshape(nlev, nf, n_pad // 128, 128)
 
     def kernel(fc_ref, out_ref):
         out_ref[0] = _sw_cells(fc_ref[0], nreg, cfg, fixed_sq)
@@ -289,17 +299,17 @@ def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
     out = pl.pallas_call(
         kernel,
         grid=(nlev, n_pad // _TILE),
-        in_specs=[pl.BlockSpec((1, SW_NF, rows, 128),
+        in_specs=[pl.BlockSpec((1, nf, rows, 128),
                                lambda l, c: (l, 0, c, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, SW_NOUT, rows, 128),
+        out_specs=pl.BlockSpec((1, nout, rows, 128),
                                lambda l, c: (l, 0, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (nlev, SW_NOUT, n_pad // 128, 128), jnp.float32),
+            (nlev, nout, n_pad // 128, 128), jnp.float32),
     )(fc)
-    out = out.reshape(nlev, SW_NOUT, n_pad)
-    return _unpack_sw(out[:, :, :n].reshape(nlev, SW_NOUT, ng, ncol),
+    out = out.reshape(nlev, nout, n_pad)
+    return _unpack_sw(out[:, :, :n].reshape(nlev, nout, ng, ncol),
                       nreg)
 
 
@@ -409,44 +419,49 @@ def lw_gamma_expm(cfg, nreg, od_capped, ssa, gg, tr, se, pt, pb, fr,
     sol0_up = fw + eu
     sol0_dn = fw - eu
 
-    # NOTE the expm itself must stay dense: computing it in the sum/
-    # difference basis (exp = cosh +/- sinh blockwise) cancels
-    # catastrophically in f32 for optically thick layers, where
-    # cosh(A) ~ sinh(A) ~ e^A/2 but the transmittance needs e^-A.
-    G = jnp.concatenate(
-        [jnp.concatenate([Atl, -Bbl], axis=1),
-         jnp.concatenate([Bbl, -Atl], axis=1)], axis=0)
-    E = expm_g(G, fixed_squarings=fixed_squarings)
-    A = E[:nreg, :nreg]
-    B = E[:nreg, nreg:]
-    C = E[nreg:, :nreg]
-    D = E[nreg:, nreg:]
-    Areg = add_eye_g(A, 1e-12)
-    ref3 = -solve_g(Areg, B)
-    trans3 = mm_gu(C, ref3) + D
-    tmp = sol0_up + u - mv_gu(B, sol0_dn)
-    sup3 = sol0_up - solve_vec_g(Areg, tmp)
-    sdn3 = (mv_gu(C, sup3 - sol0_up) + sol0_dn - mv_gu(D, sol0_dn) + u)
+    # Reflectance/transmittance by adding-doubling (matrix.py
+    # expm_reftrans_lw_g), NOT by -A^-1 B extraction on the full-layer
+    # exponential: cond(A) ~ e^{2 od gamma} makes that extraction lose
+    # ~e^50 at the od caps — the round-4 root cause of the 5-10 W/m2
+    # f32 lw_dn error at cloudy columns (it is marginal even in f64,
+    # where the reference runs it; radiation_spartacus_lw.F90:694).
+    ref3, trans3 = expm_reftrans_lw_g(
+        Atl, Bbl, fixed_doublings=fixed_squarings)
+    # Sources from the particular-solution boundary values and the
+    # STABLE (R, T): subtracting the particular solution reduces the
+    # layer to the homogeneous system, so (ref :694-712, re-derived)
+    #   S_up = p_up(top) - R p_dn(top) - T p_up(bot)
+    #   S_dn = p_dn(bot) - T p_dn(top) - R p_up(bot)
+    # with p_up/dn(top) = sol0_up/dn and p_up/dn(bot) = sol0_up/dn + u
+    # (u is the linear-in-z slope). Matches the old A^-1-based
+    # formulas to 2e-12 in f64 at moderate od.
+    pu_b = sol0_up + u
+    sup3 = sol0_up - mv_gu(ref3, sol0_dn) - mv_gu(trans3, pu_b)
+    sdn3 = sol0_dn + u - mv_gu(trans3, sol0_dn) - mv_gu(ref3, pu_b)
     return ref3, trans3, sup3, sdn3
 
 
 def _lw_cells(fc, nreg, cfg, fixed_sq):
     """Full per-cell LW pipeline on a packed (LW_NF, B) tile; returns
-    the (LW_NOUT, B) stacked output rows."""
-    od = fc[0:3]
-    ssa = fc[3:6]
-    gg = fc[6:9]
+    the (LW_NOUT, B) stacked output rows. Row offsets follow the
+    _pack_lw layout: nreg od + nreg ssa + nreg g + 6 tr (zero-padded
+    beyond the 2 off-diagonals when nreg == 2) + se + pt + pb +
+    nreg fr + use3d + clear."""
+    b0 = 3 * nreg
+    od = fc[0:nreg]
+    ssa = fc[nreg:2 * nreg]
+    gg = fc[2 * nreg:3 * nreg]
 
     m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
     for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3 else 2]):
-        m[i][j] = fc[9 + k]
+        m[i][j] = fc[b0 + k]
     tr = jnp.stack([jnp.stack(r, 0) for r in m], 0)
-    se = fc[15]
-    pt = fc[16]
-    pb = fc[17]
-    fr = fc[18:18 + nreg]                   # (nreg, B)
-    use3d = fc[18 + nreg] > 0.5
-    clear = fc[19 + nreg] > 0.5
+    se = fc[b0 + 6]
+    pt = fc[b0 + 7]
+    pb = fc[b0 + 8]
+    fr = fc[b0 + 9:b0 + 9 + nreg]           # (nreg, B)
+    use3d = fc[b0 + 9 + nreg] > 0.5
+    clear = fc[b0 + 10 + nreg] > 0.5
 
     od_capped = jnp.concatenate(
         [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
@@ -542,7 +557,7 @@ def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
                           pb_l[None], fr_l[None], u3_l[None],
                           cl_l[None], ng, ncol)[0]
             out = _lw_cells(fc, nreg, cfg, None)
-            return None, out.reshape(LW_NOUT, ng, ncol)
+            return None, out.reshape(2 * nreg * (nreg + 1), ng, ncol)
 
         _, hist = jax.lax.scan(
             body, None, (od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g,
@@ -559,6 +574,7 @@ def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
         fc = jnp.pad(fc, ((0, 0), (0, 0), (0, n_pad - n)))
     rows = _TILE // 128
     nf = fc.shape[1]
+    nout = 2 * nreg * (nreg + 1)
     fc = fc.reshape(nlev, nf, n_pad // 128, 128)
 
     def kernel(fc_ref, out_ref):
@@ -570,14 +586,14 @@ def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
         in_specs=[pl.BlockSpec((1, nf, rows, 128),
                                lambda l, c: (l, 0, c, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, LW_NOUT, rows, 128),
+        out_specs=pl.BlockSpec((1, nout, rows, 128),
                                lambda l, c: (l, 0, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (nlev, LW_NOUT, n_pad // 128, 128), jnp.float32),
+            (nlev, nout, n_pad // 128, 128), jnp.float32),
     )(fc)
-    out = out.reshape(nlev, LW_NOUT, n_pad)
-    return _unpack_lw(out[:, :, :n].reshape(nlev, LW_NOUT, ng, ncol),
+    out = out.reshape(nlev, nout, n_pad)
+    return _unpack_lw(out[:, :, :n].reshape(nlev, nout, ng, ncol),
                       nreg)
 
 

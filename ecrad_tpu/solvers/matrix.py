@@ -19,13 +19,19 @@ _THETA3 = 3.925724783138660
 _C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
       1.0)
 _MAX_SQUARINGS = 10
+# Adding-doubling variants scale further down (theta3/4): the thin-
+# layer reflectance extraction solves A_s x = B_s with cond(A_s) ~
+# e^{2 theta}, so theta ~ 1 keeps the f32 extraction at ~1e-6 while
+# costing only two extra (cheaper) doubling steps.
+_THETA_DBL = _THETA3 / 4.0
+_MAX_DOUBLINGS = _MAX_SQUARINGS + 2
 
 
-def _squaring_count(norm1):
+def _squaring_count(norm1, theta=_THETA3, max_count=_MAX_SQUARINGS):
     """Pade squaring count + exact 2^-count scale from the 1-norm.
 
-    count = #{k in [0, _MAX_SQUARINGS) : norm1 > theta3 * 2^k}, which
-    equals ceil(log2(norm1/theta3)) clipped to [0, _MAX_SQUARINGS] —
+    count = #{k in [0, max_count) : norm1 > theta * 2^k}, which
+    equals ceil(log2(norm1/theta)) clipped to [0, max_count] —
     but computed with ONLY compares against exact power-of-two
     multiples and a select-product, no transcendentals. ceil(log2(x))
     rounds differently in Mosaic (Pallas) vs XLA for borderline lanes,
@@ -36,8 +42,8 @@ def _squaring_count(norm1):
     scale = 2^-count exactly (products of 0.5 are exact in f32)."""
     expo = jnp.zeros(norm1.shape, jnp.int32)
     scale = jnp.ones_like(norm1)
-    for k in range(_MAX_SQUARINGS):
-        gt = norm1 > _THETA3 * float(2.0 ** k)
+    for k in range(max_count):
+        gt = norm1 > theta * float(2.0 ** k)
         expo = expo + gt.astype(jnp.int32)
         scale = jnp.where(gt, scale * 0.5, scale)
     return expo, scale
@@ -241,6 +247,202 @@ def expm_g(A, fixed_squarings=None):
 
     _, P = jax.lax.while_loop(cond, wbody, (jnp.int32(0), P))
     return P
+
+
+def _pade7_g(As):
+    """Pade-7 approximant of the (already scaled) g-minor matrix As."""
+    A2 = mm_gu(As, As)
+    A4 = mm_gu(A2, A2)
+    A6 = mm_gu(A2, A4)
+    V = add_eye_g(_C[7] * A6 + _C[5] * A4 + _C[3] * A2, _C[1])
+    U = mm_gu(As, V)
+    V = add_eye_g(_C[6] * A6 + _C[4] * A4 + _C[2] * A2, _C[0])
+    return add_eye_g(solve_g(V - U, 2.0 * U), 1.0)
+
+
+def expm_reftrans_lw_g(Atl, Bbl, fixed_doublings=None):
+    """Stable (R, T) of the LW two-stream layer generator
+    G = [[Atl, -Bbl], [Bbl, -Atl]] (g-minor blocks (n, n, *batch)).
+
+    The classic extraction ref = -A^-1 B on E = expm(G) is
+    catastrophically ill-conditioned for optically thick layers:
+    E mixes e^{+lam} and e^{-lam} modes, so cond(A) ~ e^{2 od gamma}
+    — at the SPARTACUS caps (od <= 16, gamma ~ 1.66+) that is ~e^50,
+    unusable even in f64 and the round-4 root cause of the 5-10 W/m2
+    f32 lw_dn error at cloudy columns. Instead: Pade-7 of the
+    2^-s-scaled generator, ONE thin-layer extraction (cond(A_s) ~
+    e^{2 theta} ~ 7), then s adding-doubling steps in (R, T) space
+
+        W = (I - R R)^-1 T ;  T <- T W ;  R <- R + T R W
+
+    where every operand stays O(1). The G structure makes the layer
+    operator symmetric (R_top = R_bot, T_dn = T_up), so one (R, T)
+    pair suffices; validated to 4e-13 against f64 expm extraction at
+    moderate od. Reference semantics: radiation_spartacus_lw.F90
+    :694-712 (computed there in double precision, where the transfer-
+    matrix form survives; this is the f32-stable reformulation).
+
+    fixed_doublings: unrolled masked step count for Pallas kernels
+    (see expm_g.fixed_squarings)."""
+    n = Atl.shape[0]
+    # 1-norm: column abs-sums of [[Atl, -Bbl], [Bbl, -Atl]]; the left
+    # and right halves have identical sums
+    norm1 = None
+    for j in range(n):
+        s = jnp.abs(Atl[0, j]) + jnp.abs(Bbl[0, j])
+        for i in range(1, n):
+            s = s + jnp.abs(Atl[i, j]) + jnp.abs(Bbl[i, j])
+        norm1 = s if norm1 is None else jnp.maximum(norm1, s)
+    expo, scale = _squaring_count(norm1, _THETA_DBL, _MAX_DOUBLINGS)
+    Xs = Atl * scale
+    Ys = Bbl * scale
+    G = jnp.concatenate(
+        [jnp.concatenate([Xs, -Ys], axis=1),
+         jnp.concatenate([Ys, -Xs], axis=1)], axis=0)
+    E = _pade7_g(G)
+    # thin-layer extraction (well-conditioned: A ~ I + O(theta))
+    R = -solve_g(E[:n, :n], E[:n, n:])
+    T = E[n:, n:] + mm_gu(E[n:, :n], R)
+
+    def step(k, RT):
+        R, T = RT
+        denom = add_eye_g(-mm_gu(R, R), 1.0)
+        W = solve_g(denom, T)
+        Rn = R + mm_gu(mm_gu(T, R), W)
+        Tn = mm_gu(T, W)
+        do = k < expo
+        return jnp.where(do, Rn, R), jnp.where(do, Tn, T)
+
+    if fixed_doublings is not None:
+        for k in range(fixed_doublings):
+            R, T = step(k, (R, T))
+        return R, T
+
+    expo_max = jnp.minimum(jnp.max(expo), _MAX_DOUBLINGS)
+
+    def cond(state):
+        k, _ = state
+        return k < expo_max
+
+    def body(state):
+        k, RT = state
+        return k + 1, step(k, RT)
+
+    _, (R, T) = jax.lax.while_loop(cond, body, (jnp.int32(0), (R, T)))
+    return R, T
+
+
+def expm_reftrans_sw_g(M, C, D, fixed_doublings=None):
+    """Stable (R, T, Rdir, Tdir, Tdd) of the SW layer generator
+    [[M, C], [0, D]]: M (2n, 2n, *batch) diffuse block with the same
+    [[X, -Y], [Y, -X]] structure as the LW generator, C (2n, n,
+    *batch) direct->diffuse coupling, D (n, n, *batch) direct block.
+
+    Same rationale as expm_reftrans_lw_g (the -A^-1 B extraction on
+    the full-layer exponential is ~e^{2||G||}-conditioned); blockwise
+    Pade-7 of the scaled generator (the expm_opt sparsity,
+    radiation_matrix.F90:1222-1333), thin-layer extraction, then
+    masked adding-doubling steps over the five scattering operators:
+
+        S    = (I - R R)^-1
+        d_i  = S (Tdir + R Rdir Tdd)          interface diffuse-down
+        Rdir <- Rdir + T (Rdir Tdd + R d_i)
+        Tdir <- T d_i + Tdir Tdd
+        R    <- R + T R (S T) ;  T <- T (S T) ;  Tdd <- Tdd Tdd
+
+    Validated to 1e-14 against the f64 expm extraction at moderate
+    norms. Reference semantics: radiation_spartacus_sw.F90:780-830."""
+    m2 = M.shape[0]
+    n = D.shape[0]
+    # 1-norm over the full [[M, C], [0, D]] columns
+    norm_left = norm1_g(M)
+    norm_right = None
+    for j in range(n):
+        s = jnp.abs(C[0, j])
+        for i in range(1, m2):
+            s = s + jnp.abs(C[i, j])
+        for i in range(n):
+            s = s + jnp.abs(D[i, j])
+        norm_right = s if norm_right is None else jnp.maximum(
+            norm_right, s)
+    norm1 = jnp.maximum(norm_left, norm_right)
+    expo, scale = _squaring_count(norm1, _THETA_DBL, _MAX_DOUBLINGS)
+    Ms, Cs, Ds = M * scale, C * scale, D * scale
+
+    def bprod(a, b):
+        return (mm_gu(a[0], b[0]),
+                mm_gu(a[0], b[1]) + mm_gu(a[1], b[2]),
+                mm_gu(a[2], b[2]))
+
+    As = (Ms, Cs, Ds)
+    A2 = bprod(As, As)
+    A4 = bprod(A2, A2)
+    A6 = bprod(A2, A4)
+
+    def pade_sum(c6, c4, c2, c0):
+        return (add_eye_g(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
+                c6 * A6[1] + c4 * A4[1] + c2 * A2[1],
+                add_eye_g(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
+
+    V = pade_sum(_C[7], _C[5], _C[3], _C[1])
+    U = bprod(As, V)
+    V = pade_sum(_C[6], _C[4], _C[2], _C[0])
+    Pm = V[0] - U[0]
+    Pc = V[1] - U[1]
+    Pd = V[2] - U[2]
+    Xd = solve_g(Pd, 2.0 * U[2])
+    Xmc = solve_g(Pm, jnp.concatenate(
+        [2.0 * U[0], 2.0 * U[1] - mm_gu(Pc, Xd)], axis=1))
+    Em = add_eye_g(Xmc[:, :m2], 1.0)
+    Ec = Xmc[:, m2:]
+    Ed = add_eye_g(Xd, 1.0)
+
+    # thin-layer extraction
+    A_ = Em[:n, :n]
+    RRd = -solve_g(A_, jnp.concatenate([Em[:n, n:], Ec[:n]], axis=1))
+    R = RRd[:, :n]
+    Rdir = RRd[:, n:]
+    T = Em[n:, n:] + mm_gu(Em[n:, :n], R)
+    Tdir = Ec[n:] + mm_gu(Em[n:, :n], Rdir)
+    Tdd = Ed
+
+    def step(k, ops):
+        R, T, Rdir, Tdir, Tdd = ops
+        denom = add_eye_g(-mm_gu(R, R), 1.0)
+        RdTdd = mm_gu(Rdir, Tdd)
+        # one LU of (I - R R) for both right-hand-side families
+        WD = solve_g(denom, jnp.concatenate(
+            [T, Tdir + mm_gu(R, RdTdd)], axis=1))
+        W = WD[:, :n]
+        d_i = WD[:, n:]
+        Rn = R + mm_gu(mm_gu(T, R), W)
+        Rdirn = Rdir + mm_gu(T, RdTdd + mm_gu(R, d_i))
+        Tdirn = mm_gu(T, d_i) + mm_gu(Tdir, Tdd)
+        Tn = mm_gu(T, W)
+        Tddn = mm_gu(Tdd, Tdd)
+        do = k < expo
+        return tuple(jnp.where(do, new, old) for new, old in
+                     zip((Rn, Tn, Rdirn, Tdirn, Tddn),
+                         (R, T, Rdir, Tdir, Tdd)))
+
+    ops = (R, T, Rdir, Tdir, Tdd)
+    if fixed_doublings is not None:
+        for k in range(fixed_doublings):
+            ops = step(k, ops)
+        return ops
+
+    expo_max = jnp.minimum(jnp.max(expo), _MAX_DOUBLINGS)
+
+    def cond(state):
+        k, _ = state
+        return k < expo_max
+
+    def body(state):
+        k, p = state
+        return k + 1, step(k, p)
+
+    _, ops = jax.lax.while_loop(cond, body, (jnp.int32(0), ops))
+    return ops
 
 
 def _expm_exchange_2_entries(a, b):

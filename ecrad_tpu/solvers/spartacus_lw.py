@@ -190,7 +190,9 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
     use_kernel = (use_pallas_default() if mode == ""
                   else mode in ("kernel", "interpret"))
-    if use_kernel:
+    # the fused sweeps hardcode the 3-region packed-row layout; nreg=2
+    # configs take the scan path below
+    if use_kernel and nreg == 3:
         from ..ops.spartacus_adding import lw_adding_sweeps, lw_pack_cols
         hist = jnp.concatenate(
             [R_h.reshape(nlev, nreg * nreg, ng, ncol),

@@ -266,7 +266,9 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
     use_kernel = (use_pallas_default() if mode == ""
                   else mode in ("kernel", "interpret"))
-    if use_kernel and not cfg.do_print_entrapment_data:
+    # the fused sweeps hardcode the 3-region packed-row layout; nreg=2
+    # configs take the scan path below
+    if use_kernel and not cfg.do_print_entrapment_data and nreg == 3:
         from ..ops.spartacus_adding import pack_cols, sw_adding_sweeps
         hist = jnp.concatenate(
             [x.reshape(nlev, nreg * nreg, ng, ncol)
@@ -329,6 +331,10 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
             x_diff, x_dir = _step_migrations(
                 cfg, nreg, cf_l, dz_l, tan_sza, R, T, RD, TDD, TD,
                 alb, albdir, x_diff, x_dir, xld, xldir)
+        # reference prints migration distances immediately after the
+        # step-migration update and BEFORE the overlap conversion
+        # (radiation_spartacus_sw.F90:1007-1020)
+        x_dir_dump, x_diff_dump = x_dir, x_diff
 
         both_clear = (cl_l & cl_prev)[None, :]
 
@@ -393,7 +399,7 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
             # migration distances at the top of this layer, g-point 1
             # (PRINT_ENTRAPMENT_DATA fort.101,
             # radiation_spartacus_sw.F90:1007-1020)
-            ys = ys + (x_dir[:, 0, :], x_diff[:, 0, :])
+            ys = ys + (x_dir_dump[:, 0, :], x_diff_dump[:, 0, :])
         return ((alb_keep, albdir_keep, x_diff, x_dir), ys)
 
     # reverse=True: sweeps surface->TOA; ys[i] still lands at layer i,

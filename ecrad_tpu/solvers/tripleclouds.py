@@ -245,7 +245,10 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
 
     from .adding import _use_fused
     fused, interp = _use_fused()
-    if fused:
+    # the fused sweeps hardcode the 3-region layout (9 packed matrix
+    # rows, carry[0:3]/[3:6] slices, fast_expm_exchange_3_g); nreg=2 is
+    # a valid namelist config and must take the scan path
+    if fused and nreg == 3:
         # fused level-sweep kernels (ops/adding_fused.py tc_sw_sweeps);
         # the lax.scan below is the CPU fallback
         from ..ops.adding_fused import tc_sw_sweeps
@@ -468,7 +471,8 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
     from .adding import _use_fused
     fused, interp = _use_fused()
-    if fused:
+    # fused sweeps are 3-region-only (see the SW note above)
+    if fused and nreg == 3:
         # fused level-sweep kernels (ops/adding_fused.py tc_lw_sweeps)
         from ..ops.adding_fused import tc_lw_sweeps
         vm_rows = vm_g[:, :, :, 0, :].reshape(nlev + 1, nreg * nreg,
