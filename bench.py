@@ -120,20 +120,36 @@ ROOFLINE_BASE = {
 }
 
 
+# Per-field max-abs bounds (W/m2) for the f32 production path vs the
+# pinned f64 CPU truth (tests/goldens/spartacus_meridian_f64.npz).
+# Round 5 re-anchored this gate after fixing the SPARTACUS f32
+# conditioning (matrix.py expm_reftrans_*): measured CPU-f32 errors
+# are lw 6e-4 / sw 0.10 (the Meador-Weaver f32 floor shared by every
+# solver); TPU-f32 measured the same order. Bounds are ~2x measured so
+# genuine regressions trip them while backend ULP wiggle does not;
+# BASELINE.md "SPARTACUS accuracy (round 5)" documents the history.
+SPARTACUS_F64_BOUNDS = {
+    "lw_up": 0.01, "lw_dn": 0.01,
+    "sw_up": 0.20, "sw_dn": 0.20, "sw_dn_direct": 0.01,
+    "lw_up_clear": 0.01, "lw_dn_clear": 0.01,
+    "sw_up_clear": 0.20, "sw_dn_clear": 0.20,
+}
+
+
 def golden_check_line(inputs):
-    """Run the meridian SPARTACUS config on the attached chip and
-    compare all flux fields against the CPU regression golden
-    (tests/goldens/spartacus_meridian.npz) — the end-to-end analogue of
-    the reference's golden-file strategy (test/ifs/Makefile:12-63), so
-    production-path validation does not rest on kernel-unit
-    equivalence alone. value = max relative error over fields;
-    vs_baseline = 1.0 iff within tolerance (5e-4: TPU-vs-CPU f32
-    reduction-order and transcendental differences measured ~1e-4)."""
+    """Run the meridian SPARTACUS config on the attached chip and gate
+    every flux field against the pinned f64 CPU truth with measured
+    per-field bounds (SPARTACUS_F64_BOUNDS) — the end-to-end analogue
+    of the reference's golden-file strategy (test/ifs/Makefile:12-63)
+    for the one solver the reference only runs in double precision.
+    The CPU-f32 path is gated against the same file by
+    tests/test_f64_validation.py. value = worst ratio of per-field
+    max-abs error to its bound; vs_baseline = 1.0 iff all within."""
     from ecrad_tpu.config import Solver, load_config_from_namelist
     from ecrad_tpu.interface import radiation, setup_radiation
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "tests", "goldens",
-                        "spartacus_meridian.npz")
+                        "spartacus_meridian_f64.npz")
     golden = np.load(path)
     cfg = load_config_from_namelist(
         "/root/reference/test/ifs/configCY47R1.nam",
@@ -144,14 +160,16 @@ def golden_check_line(inputs):
     setup = setup_radiation(cfg)
     flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
     worst = 0.0
-    for key in golden.files:
-        got = np.asarray(getattr(flux, key))
+    for key, bound in SPARTACUS_F64_BOUNDS.items():
+        got = np.asarray(getattr(flux, key), np.float64)
         want = golden[key]
-        scale = max(np.abs(want).max(), 1.0)
-        worst = max(worst, float(np.abs(got - want).max() / scale))
-    tol = 5e-4
+        err = float(np.abs(got - want).max())
+        worst = max(worst, err / bound)
+        sys.stderr.write(f"spartacus_vs_f64 {key}: max abs err "
+                         f"{err:.4f} W/m2 (bound {bound})\n")
     return {"metric": "spartacus_tpu_vs_golden", "value": worst,
-            "unit": "max_rel_err", "vs_baseline": float(worst < tol)}
+            "unit": "worst_err_over_bound",
+            "vs_baseline": float(worst < 1.0)}
 
 
 def run_extras(inputs):
@@ -175,7 +193,7 @@ def run_extras(inputs):
         r = subprocess.run(
             [sys.executable, os.path.join(here, "tools",
                                           "check_kernel_equivalence.py")],
-            capture_output=True, timeout=1800)
+            capture_output=True, timeout=3600)
         ok = 1 if r.returncode == 0 else 0
         if not ok:
             sys.stderr.write(r.stdout.decode()[-2000:]
@@ -184,6 +202,29 @@ def run_extras(inputs):
         sys.stderr.write(f"kernel equivalence run failed: {e}\n")
     lines.append({"metric": "kernel_equivalence_on_hw", "value": ok,
                   "unit": "pass", "vs_baseline": float(ok)})
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools",
+                                          "sharding_audit.py")],
+            capture_output=True, timeout=1800)
+        data = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        ok = 1 if data.get("collective_audit_pass") else 0
+        lines.append({"metric": "sharding_collective_audit", "value": ok,
+                      "unit": "pass(no_collectives_in_hot_step)",
+                      "vs_baseline": float(ok)})
+        eff8 = [r_["efficiency"] for r_ in data.get("virtual_scaling", [])
+                if r_.get("devices") == 8]
+        if eff8:
+            lines.append({
+                "metric": "scaling_virtual8_efficiency",
+                "value": eff8[0],
+                "unit": "proxy(shared-host CPU devices)",
+                "vs_baseline": 1.0})
+    except Exception as e:
+        sys.stderr.write(f"sharding audit failed: {e}\n")
+        lines.append({"metric": "sharding_collective_audit",
+                      "value": 0, "unit": "pass", "vs_baseline": 0.0})
 
     try:
         r = subprocess.run(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,8 +210,10 @@ def unpack_host_outputs(setup: RadiationSetup, flux, *, cos_sza,
             alb_from_band[:, None] == np.arange(n_alb)[None, :],
             flux.sw_dn_surf_band.dtype)          # (n_bands, n_alb)
         diffuse = flux.sw_dn_surf_band - flux.sw_dn_direct_surf_band
-        sw_diffuse_band = diffuse @ onehot
-        sw_direct_band = flux.sw_dn_direct_surf_band @ onehot
+        mm = lambda a, b: jnp.matmul(
+            a, b, precision=jax.lax.Precision.HIGHEST)
+        sw_diffuse_band = mm(diffuse, onehot)
+        sw_direct_band = mm(flux.sw_dn_direct_surf_band, onehot)
 
     return HostOutputs(
         flux_sw=net_sw, flux_lw=net_lw, flux_sw_clear=net_sw_clear,

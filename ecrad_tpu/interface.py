@@ -140,7 +140,8 @@ def _indexed_band_sum(flux_g, band_from_g, nbands):
     One-hot matmul (MXU-friendly; radiation_flux.F90:518 indexed_sum)."""
     onehot = jnp.asarray(
         np.eye(nbands, dtype=np.float32)[:, band_from_g])  # (nb, ng)
-    return jnp.einsum("...g,bg->...b", flux_g, onehot)
+    return jnp.einsum("...g,bg->...b", flux_g, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _gsum(x):
@@ -159,7 +160,8 @@ def _band_sum_gfirst(x, band_from_g, nbands):
     """g-first profile (nlev+1, ng, ncol) -> (ncol, nlev+1, nbands)."""
     onehot = jnp.asarray(
         np.eye(nbands, dtype=np.float32)[:, band_from_g])  # (nb, ng)
-    return jnp.einsum("lgc,bg->clb", x, onehot)
+    return jnp.einsum("lgc,bg->clb", x, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _canopy_sum(flux_g, band_from_g, imap, weights):
@@ -173,7 +175,8 @@ def _canopy_sum(flux_g, band_from_g, imap, weights):
     band_sums = _indexed_band_sum(flux_g, band_from_g,
                                   int(np.max(band_from_g)) + 1)
     w = jnp.asarray(weights, flux_g.dtype)   # (nint, nband)
-    return band_sums @ w.T
+    return jnp.matmul(band_sums, w.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 #: flux fields carrying a level axis (axis 1), flipped back for

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,11 +136,16 @@ def add_aerosol_optics(setup, thermodynamics, gas, aerosol,
         scat_j = me_j * jnp.asarray(ssa_t, dtype)
         scatg_j = scat_j * jnp.asarray(g_t, dtype)
         od_c = scat_c = scatg_c = 0.0
+        # precision=HIGHEST: TPU matmuls default to bf16 inputs, which
+        # puts a ~1e-3 relative error on every aerosol od and was the
+        # round-5 TPU-only ~1.2 W/m2 clear-sky SW flux error
+        mm = lambda a, b: jnp.matmul(
+            a, b, precision=jax.lax.Precision.HIGHEST)
         for r in range(nrh):
             m_r = jnp.where((irh == r)[..., None], mass, 0.0)
-            od_c = od_c + m_r @ me_j[:, r, :]
-            scat_c = scat_c + m_r @ scat_j[:, r, :]
-            scatg_c = scatg_c + m_r @ scatg_j[:, r, :]
+            od_c = od_c + mm(m_r, me_j[:, r, :])
+            scat_c = scat_c + mm(m_r, scat_j[:, r, :])
+            scatg_c = scatg_c + mm(m_r, scatg_j[:, r, :])
         return od_c, scat_c, scatg_c
 
     od_sw_aer, scat_sw_aer, scatg_sw_aer = accumulate(
@@ -187,9 +193,11 @@ def add_aerosol_optics(setup, thermodynamics, gas, aerosol,
         me = jnp.asarray(ao.mass_ext_lw, dtype)
         abs_tab = me * (1.0 - jnp.asarray(ao.ssa_lw, dtype))
         od_lw_aer = 0.0
+        mm = lambda a, b: jnp.matmul(
+            a, b, precision=jax.lax.Precision.HIGHEST)
         for r in range(nrh):
             m_r = jnp.where((irh == r)[..., None], mass, 0.0)
-            od_lw_aer = od_lw_aer + m_r @ abs_tab[:, r, :]
+            od_lw_aer = od_lw_aer + mm(m_r, abs_tab[:, r, :])
         od_lw_out = od_lw + od_lw_aer[:, :, band_g_lw]
         ssa_lw_out = ssa_lw
         g_lw_out = g_lw

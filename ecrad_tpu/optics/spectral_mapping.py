@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,7 +88,11 @@ def expand_to_g(values: jnp.ndarray, mapping: Optional[np.ndarray],
     if weights is not None:
         w = jnp.asarray(weights, values.dtype)  # (nvalue, nband)
         nvalue = w.shape[0]
-        band_vals = values[:, :nvalue] @ w  # (ncol, nband)
+        # HIGHEST: a default-precision matmul is bf16 on TPU, which
+        # rounds every surface albedo to ~3 decimal digits (measured
+        # ~0.5 W/m2 on clear-sky sw_up, round 5)
+        band_vals = jnp.matmul(values[:, :nvalue], w,
+                               precision=jax.lax.Precision.HIGHEST)
     else:
         band_vals = values[:, mapping]      # (ncol, nband)
     return band_vals[:, band_from_g]

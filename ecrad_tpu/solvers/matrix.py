@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils import fastmath
+
 # Pade-7 coefficients (radiation_matrix.F90:1128-1131)
 _THETA3 = 3.925724783138660
 _C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
@@ -446,7 +448,7 @@ def expm_reftrans_sw_g(M, C, D, fixed_doublings=None):
 
 
 def _expm_exchange_2_entries(a, b):
-    factor = (1.0 - jnp.exp(-(a + b))) / jnp.maximum(1e-12, a + b)
+    factor = (1.0 - fastmath.exp(-(a + b))) / jnp.maximum(1e-12, a + b)
     r11 = 1.0 - factor * a
     r21 = factor * a
     r12 = factor * b
@@ -576,8 +578,8 @@ def _expm_exchange_3_entries(a, b, c, d):
     v31 = safe_div(c, d + lam1)
     v32 = safe_div(c, d + lam2)
     v33 = jnp.maximum(eps, c) / jnp.maximum(eps, d)
-    d1 = jnp.exp(lam1)
-    d2 = jnp.exp(lam2)
+    d1 = fastmath.exp(lam1)
+    d2 = fastmath.exp(lam2)
     d3 = one
 
     # solve V X = diag(d) for X columns via the same LU as the reference

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import fastmath
+
 from ..config import PdfShape, RadiationConfig
 from ..optics.cloud import delta_eddington
 from . import two_stream as ts
@@ -60,7 +62,7 @@ def calc_region_properties(nreg: int, do_gamma: bool, cloud_fraction,
         raise ValueError("only 2 or 3 regions supported")
     if not do_gamma:
         # lognormal split
-        s2 = jnp.exp(-jnp.sqrt(jnp.log(fsd ** 2 + 1.0))) / jnp.sqrt(
+        s2 = fastmath.exp(-jnp.sqrt(jnp.log(fsd ** 2 + 1.0))) / jnp.sqrt(
             fsd ** 2 + 1.0)
         f2 = 0.5 * cf
         f3 = 0.5 * cf
@@ -68,7 +70,7 @@ def calc_region_properties(nreg: int, do_gamma: bool, cloud_fraction,
     else:
         f2 = cf * jnp.clip(LOWER_FRAC_INTERCEPT + fsd * LOWER_FRAC_GRAD,
                            MIN_LOWER_FRAC, MAX_LOWER_FRAC)
-        s2 = MIN_GAMMA_OD_SCALING + (1.0 - MIN_GAMMA_OD_SCALING) * jnp.exp(
+        s2 = MIN_GAMMA_OD_SCALING + (1.0 - MIN_GAMMA_OD_SCALING) * fastmath.exp(
             -fsd * (1.0 + 0.5 * fsd * (1.0 + 0.5 * fsd)))
         f3 = cf - f2
         s3 = (cf - f2 * s2) / jnp.maximum(f3, 1e-12)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils import fastmath
+
 LW_DIFFUSIVITY = 1.66
 SW_DIFFUSIVITY = 2.0
 KMIN = 1.0e-4  # single-precision value (radiation_two_stream.F90:46)
@@ -46,7 +48,7 @@ def lw_reftrans(od, gamma1, gamma2, planck_top, planck_bot):
     """
     k = _k_exponent(gamma1, gamma2)
     # --- full branch
-    expo = jnp.exp(-k * od)
+    expo = fastmath.exp(-k * od)
     expo2 = expo * expo
     rt_factor = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
     ref_full = gamma2 * (1.0 - expo2) * rt_factor
@@ -77,7 +79,7 @@ def lw_no_scattering_transmittance(od, planck_top, planck_bot):
 
     Reference: calc_no_scattering_transmittance_lw (:337-409)."""
     coeff0 = LW_DIFFUSIVITY * od
-    trans_full = jnp.exp(-coeff0)
+    trans_full = fastmath.exp(-coeff0)
     coeff = (planck_bot - planck_top) / jnp.maximum(coeff0, 1e-30)
     src_up_full = (coeff + planck_top) - trans_full * (coeff + planck_bot)
     src_dn_full = (-coeff + planck_bot) - trans_full * (-coeff + planck_top)
@@ -109,9 +111,9 @@ def sw_reftrans(mu0, od, ssa, gamma1, gamma2, gamma3):
                       1.0 - 1e-6, k_mu0)
     k_gamma3 = k * gamma3
     k_gamma4 = k * gamma4
-    e0 = jnp.exp(-od_over_mu0)
+    e0 = fastmath.exp(-od_over_mu0)
     trans_dir_dir = e0
-    expo = jnp.exp(-k * od)
+    expo = fastmath.exp(-k * od)
     expo2 = expo * expo
     k2e = 2.0 * k * expo
     rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
@@ -137,7 +139,7 @@ def lw_reftrans_isothermal(od, gamma1, gamma2, planck):
     (reflectance, transmittance, source) with source the emission from
     within the layer (same up and down)."""
     k = _k_exponent(gamma1, gamma2)
-    expo = jnp.exp(-k * od)
+    expo = fastmath.exp(-k * od)
     expo2 = expo * expo
     rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
     ref = gamma2 * (1.0 - expo2) * rt
@@ -164,9 +166,9 @@ def sw_reftrans_z(mu0, depth, gamma0, gamma1, gamma2, gamma3, gamma4):
     k_mu0 = jnp.where(jnp.abs(k_mu0 - 1.0) < 1e-6, 1.0 - 1e-6, k_mu0)
     k_gamma3 = k * gamma3
     k_gamma4 = k * gamma4
-    e0 = jnp.exp(-od_over_mu0)
+    e0 = fastmath.exp(-od_over_mu0)
     trans_dir_dir = e0
-    expo = jnp.exp(-k * depth)
+    expo = fastmath.exp(-k * depth)
     expo2 = expo * expo
     k2e = 2.0 * k * expo
     rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
@@ -187,13 +189,13 @@ def sw_frac_scattered_diffuse(od, gamma1, gamma2):
     """Fraction of beam extinction that scatters into the diffuse streams
     (radiation_two_stream.F90:781-839, used by SPARTACUS)."""
     k = _k_exponent(gamma1, gamma2)
-    expo = jnp.exp(-k * od)
+    expo = fastmath.exp(-k * od)
     expo2 = expo * expo
     rt = 1.0 / (k + gamma1 + (k - gamma1) * expo2)
     ref = gamma2 * (1.0 - expo2) * rt
     trans = 2.0 * k * expo * rt
     one_minus = 1.0 - ref - trans
-    denom = 1.0 - jnp.exp(-SW_DIFFUSIVITY * od)
+    denom = 1.0 - fastmath.exp(-SW_DIFFUSIVITY * od)
     return jnp.where(denom > 1e-12,
                      jnp.clip(one_minus / jnp.maximum(denom, 1e-12),
                               0.0, 1.0),

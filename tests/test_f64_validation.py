@@ -64,3 +64,43 @@ def test_f64_clear_sky_matches_reference_golden():
         capture_output=True, text=True, timeout=3000, env=env)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "OK" in res.stdout, res.stdout
+
+
+def test_spartacus_f32_vs_f64_golden(test_ifs_dir):
+    """CPU-f32 SPARTACUS production path vs the pinned f64 CPU truth
+    (tests/goldens/spartacus_meridian_f64.npz), with the same
+    per-field bounds the TPU gate uses (bench.py
+    SPARTACUS_F64_BOUNDS). Round 4's 5-10 W/m2 lw_dn f32 conditioning
+    error (the -A^-1 B extraction on the full-layer exponential,
+    cond ~ e^{2 od gamma}) would trip this at ~100x the bound; the
+    round-5 adding-doubling reformulation (matrix.py
+    expm_reftrans_lw_g/sw_g) measures lw ~6e-4 / sw ~0.10 W/m2."""
+    import jax
+    import numpy as np
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import SPARTACUS_F64_BOUNDS
+    from ecrad_tpu.config import Solver, load_config_from_namelist
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+    golden_path = os.path.join(repo, "tests", "goldens",
+                               "spartacus_meridian_f64.npz")
+    if not os.path.exists(golden_path):
+        pytest.skip("f64 golden not generated")
+    golden = np.load(golden_path)
+    inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
+    cfg = load_config_from_namelist(
+        "/root/reference/test/ifs/configCY47R1.nam",
+        directory_name="/root/reference/data",
+        do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+        do_canopy_fluxes_lw=False, i_solver_sw=Solver.SPARTACUS,
+        i_solver_lw=Solver.SPARTACUS, do_3d_effects=True)
+    setup = setup_radiation(cfg)
+    flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+    failures = []
+    for key, bound in SPARTACUS_F64_BOUNDS.items():
+        got = np.asarray(getattr(flux, key), np.float64)
+        err = float(np.abs(got - golden[key]).max())
+        if err >= bound:
+            failures.append(f"{key}: {err:.4f} >= {bound}")
+    assert not failures, failures

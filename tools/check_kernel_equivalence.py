@@ -64,10 +64,69 @@ def main():
 
     check_fused_taumol()
     check_spartacus_reftrans()
+    check_adding_sweeps()
     # collect-then-assert so every comparison runs (a first-failure
     # abort left the LW kernel unverified on hardware in round 3)
     assert not FAILURES, f"kernel equivalence failures: {FAILURES}"
     print("kernel equivalence OK")
+
+
+def check_adding_sweeps():
+    """Fused adding-sweep Pallas kernels vs the lax.scan fallback,
+    COMPILED on the attached accelerator with real meridian inputs
+    (round-4 verdict: these kernels' only hardware validation was the
+    e2e golden line). Covers ops/adding_fused.py level sweeps (ICA
+    SW 3-sweep + LW 2-sweep via Homogeneous, Tripleclouds region
+    sweeps) and ops/spartacus_adding.py up/down sweeps. Both paths
+    consume identical reftrans histories on the same backend, so the
+    comparison is tight (~f32 fusion-order wiggle only). Reference
+    semantics: radiation_adding_ica_sw.F90:85-143,
+    radiation_spartacus_sw.F90:930-1650."""
+    from ecrad_tpu.config import Solver, load_config_from_namelist
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+
+    inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
+
+    def run(solver, kernel_mode, **kw):
+        cfg = load_config_from_namelist(
+            "/root/reference/test/ifs/configCY47R1.nam",
+            directory_name="/root/reference/data",
+            do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+            do_canopy_fluxes_lw=False, i_solver_sw=solver,
+            i_solver_lw=solver, **kw)
+        setup = setup_radiation(cfg)
+        mode = "kernel" if kernel_mode else "scan"
+        old = {k: os.environ.get(k) for k in
+               ("ECRAD_ADDING", "ECRAD_SPARTACUS_ADDING")}
+        try:
+            os.environ["ECRAD_ADDING"] = mode
+            os.environ["ECRAD_SPARTACUS_ADDING"] = mode
+            return jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    for name, solver, kw in (
+            ("adding_ica(homogeneous)", Solver.HOMOGENEOUS, {}),
+            ("adding_tc(tripleclouds)", Solver.TRIPLECLOUDS, {}),
+            ("spartacus_adding", Solver.SPARTACUS,
+             {"do_3d_effects": True})):
+        kf = run(solver, True, **kw)
+        sf = run(solver, False, **kw)
+        for field in ("lw_up", "lw_dn", "sw_up", "sw_dn"):
+            a = np.asarray(getattr(kf, field))
+            b = np.asarray(getattr(sf, field))
+            scale = max(np.abs(b).max(), 1e-30)
+            err = np.abs(a - b).max() / scale
+            ok = err < 2e-5
+            print(f"{name}.{field}: kernel-vs-scan rel err {err:.2e}"
+                  f"  {'OK' if ok else 'FAIL'}")
+            if not ok:
+                FAILURES.append(f"{name}.{field}")
 
 
 def check_spartacus_reftrans():
