@@ -51,6 +51,15 @@ LW_DIFFUSIVITY = 1.66
 _TILE = 1024
 
 
+def _g_block(ng: int) -> int:
+    """Sublane block for the (nlev, g-tiles, col-tiles) reftrans
+    grids: the largest divisor of ng that keeps the per-block VMEM
+    scratch modest, preferring multiples of 8 (vreg sublanes).
+    Mosaic requires sublane blocks divisible by 8; a non-dividing
+    final block (ng=140 -> 9 blocks of 16) is masked by Pallas."""
+    return 16 if ng >= 16 else 8
+
+
 def _diag_g(x, nreg):
     """(nreg, *batch) vector -> diagonal matrices (nreg, nreg, *batch)."""
     zero = jnp.zeros_like(x[0])
@@ -203,30 +212,21 @@ SW_NOUT = 45
 _OFFD = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
 
 
-def _sw_cells(fc, nreg, cfg, fixed_sq):
-    """Full per-cell SW pipeline on a packed (SW_NF, B) tile; returns
-    the (SW_NOUT, B) stacked output rows. Row offsets follow the
-    _pack_sw layout: nreg od + nreg ssa + nreg g + 6 trd + 6 trf
-    (zero-padded beyond the 2 off-diagonals when nreg == 2) + mu0 +
-    use3d + clear."""
-    od = fc[0:nreg]
-    ssa = fc[nreg:2 * nreg]
-    gg = fc[2 * nreg:3 * nreg]
+def _offd_rows(rows, nreg):
+    """(6, ...) off-diagonal rows -> (nreg, nreg, ...) matrices in
+    _OFFD order (zero-padded beyond the first 2 when nreg == 2)."""
+    zero = jnp.zeros_like(rows[0])
+    m = [[zero] * nreg for _ in range(nreg)]
+    for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3 else 2]):
+        m[i][j] = rows[k]
+    return jnp.stack([jnp.stack(r, 0) for r in m], 0)
 
-    def offd(base):
-        m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
-        for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3
-                                         else 2]):
-            m[i][j] = fc[base + k]
-        return jnp.stack([jnp.stack(r, 0) for r in m], 0)
 
-    b0 = 3 * nreg
-    trd = offd(b0)
-    trf = offd(b0 + 6)
-    mu0 = fc[b0 + 12]
-    use3d = fc[b0 + 13] > 0.5
-    clear = fc[b0 + 14] > 0.5
-
+def _sw_compute(cfg, nreg, od, ssa, gg, trd, trf, mu0, use3d, clear,
+                fixed_sq):
+    """SW per-cell pipeline, batch-generic: od/ssa/gg (nreg, *batch);
+    trd/trf (nreg, nreg, *bcast); mu0/clear *bcast; use3d (*batch)
+    bool. Returns stacked (5*nreg*nreg, *batch) rows."""
     od_capped = jnp.concatenate(
         [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
 
@@ -238,7 +238,8 @@ def _sw_cells(fc, nreg, cfg, fixed_sq):
         return tuple(jnp.where(use3d, a, b) for a, b in zip(f3, mw))
 
     def skip(_):
-        return mw
+        return tuple(jnp.broadcast_to(M, (nreg, nreg) + use3d.shape)
+                     for M in mw)
 
     # a tile/level with no 3D point skips the whole expm pipeline
     out5 = jax.lax.cond(jnp.any(use3d), full, skip, None)
@@ -249,15 +250,38 @@ def _sw_cells(fc, nreg, cfg, fixed_sq):
                       for i in range(nreg) for j in range(nreg)], axis=0)
 
 
+def _sw_cells(fc, nreg, cfg, fixed_sq):
+    """Full per-cell SW pipeline on a packed (SW_NF, B) tile; returns
+    the (SW_NOUT, B) stacked output rows. Row offsets follow the
+    _pack_sw layout: nreg od + nreg ssa + nreg g + 6 trd + 6 trf
+    (zero-padded beyond the 2 off-diagonals when nreg == 2) + mu0 +
+    use3d + clear."""
+    od = fc[0:nreg]
+    ssa = fc[nreg:2 * nreg]
+    gg = fc[2 * nreg:3 * nreg]
+    b0 = 3 * nreg
+    trd = _offd_rows([fc[b0 + k] for k in range(6)], nreg)
+    trf = _offd_rows([fc[b0 + 6 + k] for k in range(6)], nreg)
+    mu0 = fc[b0 + 12]
+    use3d = fc[b0 + 13] > 0.5
+    clear = fc[b0 + 14] > 0.5
+    return _sw_compute(cfg, nreg, od, ssa, gg, trd, trf, mu0, use3d,
+                       clear, fixed_sq)
+
+
 def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
-                       use3d_g, clear_g, use_pallas):
+                       use3d_g, clear_g, use_pallas, packed=False):
     """All-levels SW reflectance/transmittance histories.
 
     od_r/ssa_r/g_r: (nlev, nreg, ng, ncol) (od region 0 uncapped —
     capping for the Gamma path happens inside); trd_g/trf_g: (nlev,
     nreg, nreg, 1, ncol); mu0 (ncol,); use3d_g (nlev, ng, ncol) bool;
     clear_g (nlev, ncol) bool. Returns (R, T, RD, TD, TDD) each
-    (nlev, nreg, nreg, ng, ncol)."""
+    (nlev, nreg, nreg, ng, ncol) — or, with packed=True, the raw
+    stacked rows (nlev, 5*nreg*nreg, ng, ncol) in [R|T|RD|TD|TDD]
+    order, which is EXACTLY the hist layout the fused adding kernels
+    consume (ops/spartacus_adding.py): the unpack-into-5 + re-concat
+    round trip costed ~17 ms of HBM copies at 2048 columns."""
     nlev, _, ng, ncol = od_r.shape
     n = ng * ncol
     fixed_sq = sw_fixed_squarings(cfg)
@@ -276,41 +300,71 @@ def sw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0,
         _, hist = jax.lax.scan(
             body, None, (od_r, ssa_r, g_r, trd_g, trf_g, use3d_g,
                          clear_g))
-        return _unpack_sw(hist, nreg)
+        return hist if packed else _unpack_sw(hist, nreg)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    fc = _pack_sw(od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g,
-                  clear_g, ng, ncol)
-    n_pad = -(-n // _TILE) * _TILE
-    if n_pad != n:
-        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, n_pad - n)))
-    # batch as 2-D (sublane, lane) tiles: a rank-1 (TILE,) vector
-    # occupies 1 of 8 sublanes per vreg — 8x VPU waste
-    rows = _TILE // 128
-    nf = fc.shape[1]
+    # Grid (nlev, g-tiles, col-tiles) with the (ng, ncol) axes kept
+    # intact: flattening (ng, ncol) into one batch axis (the round-2/3
+    # form) forces XLA tile-relayout copies on EVERY kernel input and
+    # output ((n//128, 128) vs (ng, ncol) (8,128)-tilings order tiles
+    # differently) — measured 17 ms out + 7 ms in at 2048 columns for
+    # the SW kernel alone. Per-column rows now enter as (R, 1, LB)
+    # blocks broadcast across the g sublanes inside VMEM, so the old
+    # full-row broadcasts in _pack_sw are gone too.
     nout = 5 * nreg * nreg
-    fc = fc.reshape(nlev, nf, n_pad // 128, 128)
+    gb = _g_block(ng)
+    ncol_pad = -(-ncol // 128) * 128
 
-    def kernel(fc_ref, out_ref):
-        out_ref[0] = _sw_cells(fc_ref[0], nreg, cfg, fixed_sq)
+    def padc(x):
+        if x.shape[-1] == ncol_pad:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                       + [(0, ncol_pad - x.shape[-1])])
 
+    od_p = padc(od_r)
+    ssa_p = padc(ssa_r)
+    g_p = padc(g_r)
+    u3_p = padc(use3d_g.astype(od_r.dtype))
+    noff = len(_OFFD) if nreg == 3 else 2
+    colrows = [trd_g[:, i, j, 0, :] for (i, j) in _OFFD[:noff]]
+    colrows += [jnp.zeros((nlev, ncol), od_r.dtype)] * (6 - noff)
+    colrows += [trf_g[:, i, j, 0, :] for (i, j) in _OFFD[:noff]]
+    colrows += [jnp.zeros((nlev, ncol), od_r.dtype)] * (6 - noff)
+    colrows += [jnp.broadcast_to(mu0[None], (nlev, ncol)),
+                clear_g.astype(od_r.dtype)]
+    cols = padc(jnp.stack(colrows, axis=1))     # (nlev, 14, ncol_pad)
+
+    def kernel(od_ref, ssa_ref, g_ref, u3_ref, cols_ref, out_ref):
+        c = cols_ref[0]                          # (14, 1, 128)
+        trd = _offd_rows([c[k] for k in range(6)], nreg)
+        trf = _offd_rows([c[6 + k] for k in range(6)], nreg)
+        out_ref[0] = _sw_compute(
+            cfg, nreg, od_ref[0], ssa_ref[0], g_ref[0], trd, trf,
+            c[12], u3_ref[0] > 0.5, c[13] > 0.5, fixed_sq)
+
+    cell_spec = pl.BlockSpec((1, nreg, gb, 128),
+                             lambda l, g, c: (l, 0, g, c),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nlev, n_pad // _TILE),
-        in_specs=[pl.BlockSpec((1, nf, rows, 128),
-                               lambda l, c: (l, 0, c, 0),
+        grid=(nlev, -(-ng // gb), ncol_pad // 128),
+        in_specs=[cell_spec, cell_spec, cell_spec,
+                  pl.BlockSpec((1, gb, 128),
+                               lambda l, g, c: (l, g, c),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 14, 1, 128),
+                               lambda l, g, c: (l, 0, 0, c),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, nout, rows, 128),
-                               lambda l, c: (l, 0, c, 0),
+        out_specs=pl.BlockSpec((1, nout, gb, 128),
+                               lambda l, g, c: (l, 0, g, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (nlev, nout, n_pad // 128, 128), jnp.float32),
-    )(fc)
-    out = out.reshape(nlev, nout, n_pad)
-    return _unpack_sw(out[:, :, :n].reshape(nlev, nout, ng, ncol),
-                      nreg)
+            (nlev, nout, ng, ncol_pad), jnp.float32),
+    )(od_p, ssa_p, g_p, u3_p, cols[:, :, None, :])
+    out = out[..., :ncol]
+    return out if packed else _unpack_sw(out, nreg)
 
 
 def _pack_sw(od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g, clear_g,
@@ -441,31 +495,16 @@ def lw_gamma_expm(cfg, nreg, od_capped, ssa, gg, tr, se, pt, pb, fr,
     return ref3, trans3, sup3, sdn3
 
 
-def _lw_cells(fc, nreg, cfg, fixed_sq):
-    """Full per-cell LW pipeline on a packed (LW_NF, B) tile; returns
-    the (LW_NOUT, B) stacked output rows. Row offsets follow the
-    _pack_lw layout: nreg od + nreg ssa + nreg g + 6 tr (zero-padded
-    beyond the 2 off-diagonals when nreg == 2) + se + pt + pb +
-    nreg fr + use3d + clear."""
-    b0 = 3 * nreg
-    od = fc[0:nreg]
-    ssa = fc[nreg:2 * nreg]
-    gg = fc[2 * nreg:3 * nreg]
-
-    m = [[jnp.zeros_like(fc[0])] * nreg for _ in range(nreg)]
-    for k, (i, j) in enumerate(_OFFD[:len(_OFFD) if nreg == 3 else 2]):
-        m[i][j] = fc[b0 + k]
-    tr = jnp.stack([jnp.stack(r, 0) for r in m], 0)
-    se = fc[b0 + 6]
-    pt = fc[b0 + 7]
-    pb = fc[b0 + 8]
-    fr = fc[b0 + 9:b0 + 9 + nreg]           # (nreg, B)
-    use3d = fc[b0 + 9 + nreg] > 0.5
-    clear = fc[b0 + 10 + nreg] > 0.5
-
+def _lw_compute(cfg, nreg, od, ssa, gg, tr, se, pt, pb, fr, use3d,
+                clear, fixed_sq):
+    """LW per-cell pipeline, batch-generic: od/ssa/gg (nreg, *batch);
+    tr (nreg, nreg, *bcast); se/pt/pb (*batch); fr (nreg, *bcast);
+    use3d (*batch) bool; clear *bcast bool. Returns stacked
+    (2*nreg*(nreg+1), *batch) rows [R | T | SU | SD]."""
     od_capped = jnp.concatenate(
         [jnp.minimum(od[:1], cfg.max_gas_od_3d), od[1:]], axis=0)
     gamma1, gamma2 = ts.lw_gammas(ssa, gg)
+    batch = od.shape[1:]
 
     def full(_):
         return lw_gamma_expm(cfg, nreg, od_capped, ssa, gg, tr, se,
@@ -473,8 +512,8 @@ def _lw_cells(fc, nreg, cfg, fixed_sq):
                              fixed_squarings=fixed_sq)
 
     def skip(_):
-        zm = jnp.zeros((nreg, nreg) + od.shape[1:], od.dtype)
-        zv = jnp.zeros((nreg,) + od.shape[1:], od.dtype)
+        zm = jnp.zeros((nreg, nreg) + batch, od.dtype)
+        zv = jnp.zeros((nreg,) + batch, od.dtype)
         return zm, zm, zv, zv
 
     ref3, trans3, sup3, sdn3 = jax.lax.cond(jnp.any(use3d), full, skip,
@@ -495,8 +534,8 @@ def _lw_cells(fc, nreg, cfg, fixed_sq):
 
     ref = jnp.where(use3d, ref3, _diag_g(rmw, nreg))
     trans = jnp.where(use3d, trans3, _diag_g(tmw, nreg))
-    sup = jnp.where(use3d, sup3, sumw)
-    sdn = jnp.where(use3d, sdn3, sdmw)
+    sup = jnp.where(use3d, sup3, jnp.broadcast_to(sumw, (nreg,) + batch))
+    sdn = jnp.where(use3d, sdn3, jnp.broadcast_to(sdmw, (nreg,) + batch))
     ref = _zero_offdiag_clear(ref, clear)
     trans = _zero_offdiag_clear(trans, clear)
     sup = _zero_cloudy_vec(sup, clear)
@@ -507,6 +546,27 @@ def _lw_cells(fc, nreg, cfg, fixed_sq):
          for i in range(nreg) for j in range(nreg)]
         + [sup[i] for i in range(nreg)]
         + [sdn[i] for i in range(nreg)], axis=0)
+
+
+def _lw_cells(fc, nreg, cfg, fixed_sq):
+    """Full per-cell LW pipeline on a packed (LW_NF, B) tile; returns
+    the (LW_NOUT, B) stacked output rows. Row offsets follow the
+    _pack_lw layout: nreg od + nreg ssa + nreg g + 6 tr (zero-padded
+    beyond the 2 off-diagonals when nreg == 2) + se + pt + pb +
+    nreg fr + use3d + clear."""
+    b0 = 3 * nreg
+    od = fc[0:nreg]
+    ssa = fc[nreg:2 * nreg]
+    gg = fc[2 * nreg:3 * nreg]
+    tr = _offd_rows([fc[b0 + k] for k in range(6)], nreg)
+    se = fc[b0 + 6]
+    pt = fc[b0 + 7]
+    pb = fc[b0 + 8]
+    fr = fc[b0 + 9:b0 + 9 + nreg]           # (nreg, B)
+    use3d = fc[b0 + 9 + nreg] > 0.5
+    clear = fc[b0 + 10 + nreg] > 0.5
+    return _lw_compute(cfg, nreg, od, ssa, gg, tr, se, pt, pb, fr,
+                       use3d, clear, fixed_sq)
 
 
 def _pack_lw(od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g, fr_g, use3d_g,
@@ -538,8 +598,12 @@ def _pack_lw(od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g, fr_g, use3d_g,
 
 
 def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
-                       pb_g, fr_g, use3d_g, clear_g, use_pallas):
-    """All-levels LW histories (R, T, SU, SD).
+                       pb_g, fr_g, use3d_g, clear_g, use_pallas,
+                       packed=False):
+    """All-levels LW histories (R, T, SU, SD). packed=True returns
+    the raw (nlev, 2*nreg*(nreg+1), ng, ncol) stacked rows in
+    [R|T|SU|SD] order — the fused adding kernels' hist layout
+    (see sw_reftrans_levels).
 
     od_r/ssa_r/g_r (nlev, nreg, ng, ncol); tr_g (nlev, nreg, nreg, 1,
     ncol); se_g/pt_g/pb_g (nlev, ng, ncol); fr_g (nlev, nreg, 1,
@@ -562,39 +626,69 @@ def lw_reftrans_levels(cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, pt_g,
         _, hist = jax.lax.scan(
             body, None, (od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g,
                          fr_g, use3d_g, clear_g))
-        return _unpack_lw(hist, nreg)
+        return hist if packed else _unpack_lw(hist, nreg)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    fc = _pack_lw(od_r, ssa_r, g_r, tr_g, se_g, pt_g, pb_g, fr_g,
-                  use3d_g, clear_g, ng, ncol)
-    n_pad = -(-n // _TILE) * _TILE
-    if n_pad != n:
-        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, n_pad - n)))
-    rows = _TILE // 128
-    nf = fc.shape[1]
+    # (nlev, g-tiles, col-tiles) grid with (ng, ncol) intact — see the
+    # SW wrapper for the tile-relayout rationale.
     nout = 2 * nreg * (nreg + 1)
-    fc = fc.reshape(nlev, nf, n_pad // 128, 128)
+    gb = _g_block(ng)
+    ncol_pad = -(-ncol // 128) * 128
 
-    def kernel(fc_ref, out_ref):
-        out_ref[0] = _lw_cells(fc_ref[0], nreg, cfg, fixed_sq)
+    def padc(x):
+        if x.shape[-1] == ncol_pad:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                       + [(0, ncol_pad - x.shape[-1])])
 
+    od_p = padc(od_r)
+    ssa_p = padc(ssa_r)
+    g_p = padc(g_r)
+    u3_p = padc(use3d_g.astype(od_r.dtype))
+    se_p = padc(se_g)
+    pt_p = padc(pt_g)
+    pb_p = padc(pb_g)
+    noff = len(_OFFD) if nreg == 3 else 2
+    colrows = [tr_g[:, i, j, 0, :] for (i, j) in _OFFD[:noff]]
+    colrows += [jnp.zeros((nlev, ncol), od_r.dtype)] * (6 - noff)
+    colrows += [fr_g[:, r, 0, :] for r in range(nreg)]
+    colrows += [jnp.zeros((nlev, ncol), od_r.dtype)] * (3 - nreg)
+    colrows += [clear_g.astype(od_r.dtype)]
+    cols = padc(jnp.stack(colrows, axis=1))   # (nlev, 10, ncol_pad)
+
+    def kernel(od_ref, ssa_ref, g_ref, se_ref, pt_ref, pb_ref,
+               u3_ref, cols_ref, out_ref):
+        c = cols_ref[0]                        # (10, 1, 128)
+        tr = _offd_rows([c[k] for k in range(6)], nreg)
+        fr = jnp.concatenate([c[6 + r] for r in range(nreg)], axis=0)
+        out_ref[0] = _lw_compute(
+            cfg, nreg, od_ref[0], ssa_ref[0], g_ref[0], tr, se_ref[0],
+            pt_ref[0], pb_ref[0], fr[:, None], u3_ref[0] > 0.5,
+            c[9] > 0.5, fixed_sq)
+
+    cell_spec = pl.BlockSpec((1, nreg, gb, 128),
+                             lambda l, g, c: (l, 0, g, c),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, gb, 128), lambda l, g, c: (l, g, c),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nlev, n_pad // _TILE),
-        in_specs=[pl.BlockSpec((1, nf, rows, 128),
-                               lambda l, c: (l, 0, c, 0),
+        grid=(nlev, -(-ng // gb), ncol_pad // 128),
+        in_specs=[cell_spec, cell_spec, cell_spec,
+                  row_spec, row_spec, row_spec, row_spec,
+                  pl.BlockSpec((1, 10, 1, 128),
+                               lambda l, g, c: (l, 0, 0, c),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, nout, rows, 128),
-                               lambda l, c: (l, 0, c, 0),
+        out_specs=pl.BlockSpec((1, nout, gb, 128),
+                               lambda l, g, c: (l, 0, g, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (nlev, nout, n_pad // 128, 128), jnp.float32),
-    )(fc)
-    out = out.reshape(nlev, nout, n_pad)
-    return _unpack_lw(out[:, :, :n].reshape(nlev, nout, ng, ncol),
-                      nreg)
+            (nlev, nout, ng, ncol_pad), jnp.float32),
+    )(od_p, ssa_p, g_p, se_p, pt_p, pb_p, u3_p, cols[:, :, None, :])
+    out = out[..., :ncol]
+    return out if packed else _unpack_lw(out, nreg)
 
 
 def _unpack_lw(out, nreg):

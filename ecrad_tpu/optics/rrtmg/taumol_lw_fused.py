@@ -102,6 +102,9 @@ class LwFusedTables(NamedTuple):
     pf_a_const: np.ndarray     # (140,)
     pf_b_const: np.ndarray     # (140,)
     meta: dict                 # static offsets (python ints only)
+    # ECRAD_TAUMOL_ETA_FOLD experiment tables (None unless enabled)
+    tropo_joint: np.ndarray = None   # (86, 585): eta bands, joint (e,p)
+    tropo_noeta: np.ndarray = None   # (54, 65): noeta bands only
 
 
 def _fold_table(tab):
@@ -146,6 +149,30 @@ def build_lw_fused(t) -> LwFusedTables:
     tropo_cat = np.concatenate(blocks, axis=0)
     meta["tropo_off"] = tropo_off
     meta["tropo_rows"] = off
+
+    # ETA_FOLD experiment tables: joint (g, e*65+p) layout per eta
+    # band + a noeta-only concat with its own offsets
+    jblocks, njblocks = [], []
+    joff, njoff = {}, {}
+    jo = njo = 0
+    for b in range(1, 17):
+        tab = np.asarray(t[f"lw{b}_absa"], F32)
+        ng = NG[b - 1]
+        if b in ETA_TROPO:
+            # (65, 9, ng) -> (ng, 9, 65) -> (ng, 585)
+            blk = tab.reshape(65, 9, ng).transpose(2, 1, 0).reshape(
+                ng, 9 * 65)
+            joff[b] = jo
+            jo += ng
+            jblocks.append(blk)
+        else:
+            njoff[b] = njo
+            njo += ng
+            njblocks.append(tab.T)
+    meta["tropo_joint_off"] = joff
+    meta["tropo_noeta_off"] = njoff
+    tropo_joint = np.ascontiguousarray(np.concatenate(jblocks, 0))
+    tropo_noeta = np.ascontiguousarray(np.concatenate(njblocks, 0))
 
     # ---- stratospheric major concat ------------------------------------
     blocks = []
@@ -313,7 +340,9 @@ def build_lw_fused(t) -> LwFusedTables:
         pf_fold=_fold_table(pf_cat),
         const_vecs=const_vecs,
         pf_a_const=pf_a_const[:, None], pf_b_const=pf_b_const[:, None],
-        meta=meta)
+        meta=meta,
+        tropo_joint=tropo_joint,
+        tropo_noeta=tropo_noeta)
     _CACHE[id(t)] = fd
     return fd
 
@@ -371,6 +400,15 @@ def pack_coeffs(c: Coeffs, t) -> tuple:
 import os
 
 _PREC_NAME = os.environ.get("ECRAD_TAUMOL_PRECISION", "3pass")
+# Round-5 verdict experiment: fold the tropospheric 3-point eta
+# contraction into per-band joint class-matmul weights
+# W[(e,p), cell] = Bw[e, cell] * A[p, cell] (the outer-product algebra
+# of rrtm_taumol3.F90:141-198) instead of the shared-matmul + VPU
+# epilogue. Measured on TPU v5e (see CLAUDE.md losses): the joint
+# one-hot build costs more VPU work than the epilogue it removes and
+# the MXU MACs are unchanged (table size is invariant), so this is
+# OFF by default and kept for the measurement record.
+_ETA_FOLD = os.environ.get("ECRAD_TAUMOL_ETA_FOLD", "0") == "1"
 
 
 def _dot_p(a, b, precision):
@@ -528,8 +566,16 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
     wa2 = jnp.where(tropf > 0.0, corradj2, 1.0)
 
     # ---- the class matmuls ---------------------------------------------
-    M_t0 = dot("tropo", A_t0)               # (828, tile)
-    M_t1 = dot("tropo", A_t1)
+    if _ETA_FOLD:
+        # eta bands take per-band joint matmuls below; the shared
+        # product only covers the 54 noeta rows
+        M_t0 = _dot_p(tabs["tropo_noeta"], A_t0,
+                      jax.lax.Precision.HIGHEST)
+        M_t1 = _dot_p(tabs["tropo_noeta"], A_t1,
+                      jax.lax.Precision.HIGHEST)
+    else:
+        M_t0 = dot("tropo", A_t0)           # (828, tile)
+        M_t1 = dot("tropo", A_t1)
     M_s0 = dot("strat", A_s0)               # (302, tile)
     M_s1 = dot("strat", A_s1)
     # self + foreign continuum in one product; the band-2 corradj2/wa2
@@ -600,22 +646,46 @@ def lw_fused_body(fc, ic, tabs, meta, in_pallas=False):
             w0s = _eta_weights3(sp0, fs0)
             w1s = _eta_weights3(sp1, fs1)
             contrib = jnp.zeros((ng, tile), jnp.float32)
-            for (jsx, ws, M, sc) in ((js0, w0s, M_t0, tropf * sc0),
-                                     (js1, w1s, M_t1, tropf * sc1)):
-                # B (9, tile): 3-point eta weights at js-1..js+2
-                Bw = _onehot_rows(
-                    9, [(jsx + dj, ws[k])
-                        for k, dj in enumerate((-1, 0, 1, 2))], tile)
-                # one reduce over the eta axis instead of 9 (ng, tile)
-                # multiply-adds: the per-band VPU op count is what
-                # bounds this kernel
-                fam = (M[off_t:off_t + 9 * ng].reshape(9, ng, tile)
-                       * Bw[:, None, :]).sum(axis=0)
-                contrib = contrib + sc * fam
+            if _ETA_FOLD:
+                # joint-weight form: one matmul per band-family with
+                # k = 9*65, weights the outer product Bw (x) A
+                off_j = meta["tropo_joint_off"][b]
+                tj = tabs["tropo_joint"][off_j:off_j + ng]
+                for (jsx, ws, A, sc) in ((js0, w0s, A_t0, tropf * sc0),
+                                         (js1, w1s, A_t1,
+                                          tropf * sc1)):
+                    Bw = _onehot_rows(
+                        9, [(jsx + dj, ws[k])
+                            for k, dj in enumerate((-1, 0, 1, 2))],
+                        tile)
+                    Wj = (Bw[:, None, :] * A[None, :, :]).reshape(
+                        9 * 65, tile)
+                    fam = _dot_p(tj, Wj, jax.lax.Precision.HIGHEST)
+                    contrib = contrib + sc * fam
+            else:
+                for (jsx, ws, M, sc) in ((js0, w0s, M_t0, tropf * sc0),
+                                         (js1, w1s, M_t1,
+                                          tropf * sc1)):
+                    # B (9, tile): 3-point eta weights at js-1..js+2
+                    Bw = _onehot_rows(
+                        9, [(jsx + dj, ws[k])
+                            for k, dj in enumerate((-1, 0, 1, 2))],
+                        tile)
+                    # one reduce over the eta axis instead of 9
+                    # (ng, tile) multiply-adds: the per-band VPU op
+                    # count is what bounds this kernel
+                    fam = (M[off_t:off_t + 9 * ng].reshape(9, ng, tile)
+                           * Bw[:, None, :]).sum(axis=0)
+                    contrib = contrib + sc * fam
         else:
             w = tropf * noeta_w[b]
-            contrib = w * (M_t0[off_t:off_t + ng]
-                           + M_t1[off_t:off_t + ng])
+            if _ETA_FOLD:
+                off_n = meta["tropo_noeta_off"][b]
+                contrib = w * (M_t0[off_n:off_n + ng]
+                               + M_t1[off_n:off_n + ng])
+            else:
+                contrib = w * (M_t0[off_t:off_t + ng]
+                               + M_t1[off_t:off_t + ng])
         # strat major
         if b in ETA_STRAT:
             off_s = meta["strat_off"][b]
@@ -755,6 +825,8 @@ def _kernel_tab_fields(matmul_names, const_fields):
 
 # the default ("3pass") kernel VMEM set, also used by tools/roofline.py
 TAB_FIELDS = _kernel_tab_fields(_MATMUL_NAMES, _CONST_FIELDS)
+if _ETA_FOLD:
+    TAB_FIELDS = TAB_FIELDS + ["tropo_joint", "tropo_noeta"]
 
 
 def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
@@ -772,7 +844,8 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
     n = fc.shape[1]
     if not use_pallas:
         tabs = {k: jnp.asarray(getattr(fd, k))
-                for k in fd._fields if k != "meta"}
+                for k in fd._fields
+                if k != "meta" and getattr(fd, k) is not None}
         tau, pfrac = lw_fused_body(fc, ic, tabs, fd.meta)
         return (tau.T, pfrac.T) if cell_major else (tau, pfrac)
     tabs_np = {k: getattr(fd, k) for k in TAB_FIELDS}

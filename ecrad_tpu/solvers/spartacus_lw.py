@@ -168,13 +168,24 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     clear_prev_g = jnp.moveaxis(clear_prev, 1, 0)
     use_matrix = cfg.do_3d_effects or cfg.do_3d_lw_multilayer_effects
 
+    # Fused Pallas adding sweeps on TPU (ops/spartacus_adding.py);
+    # lax.scan below is the CPU fallback. ECRAD_SPARTACUS_ADDING
+    # overrides for tests (scan|kernel|interpret). The fused sweeps
+    # hardcode the 3-region packed-row layout; nreg=2 takes the scan.
+    import os
+    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
+    use_kernel = ((use_pallas_default() if mode == ""
+                   else mode in ("kernel", "interpret")) and nreg == 3)
+
     # Per-level reflectance/transmittance/sources for ALL levels at
     # once (the fused Pallas pipeline on TPU; identical jnp cell math
     # per level on CPU — see ops/spartacus_reftrans.py and the SW
-    # solver's rationale).
-    R_h, T_h, SU_h, SD_h = lw_reftrans_levels(
+    # solver's rationale). On the kernel path the packed [R|T|SU|SD]
+    # rows ARE the adding kernels' hist layout — no unpack/re-concat.
+    hist_or_parts = lw_reftrans_levels(
         cfg, nreg, od_r, ssa_r, g_r, tr_g, se_g, planck_top_g,
-        planck_bot_g, frac_g, use3d_g, clear_g, use_pallas_default())
+        planck_bot_g, frac_g, use3d_g, clear_g, use_pallas_default(),
+        packed=use_kernel)
 
     # ---------------- upward pass -----------------------------------------
     alb0 = _diag_g(jnp.stack([albedo.T] * nreg, 0), nreg)
@@ -183,21 +194,9 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     clear_next = jnp.concatenate(
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
 
-    # Fused Pallas adding sweeps on TPU (ops/spartacus_adding.py);
-    # lax.scan below is the CPU fallback. ECRAD_SPARTACUS_ADDING
-    # overrides for tests (scan|kernel|interpret).
-    import os
-    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
-    use_kernel = (use_pallas_default() if mode == ""
-                  else mode in ("kernel", "interpret"))
-    # the fused sweeps hardcode the 3-region packed-row layout; nreg=2
-    # configs take the scan path below
-    if use_kernel and nreg == 3:
+    if use_kernel:
         from ..ops.spartacus_adding import lw_adding_sweeps, lw_pack_cols
-        hist = jnp.concatenate(
-            [R_h.reshape(nlev, nreg * nreg, ng, ncol),
-             T_h.reshape(nlev, nreg * nreg, ng, ncol), SU_h, SD_h],
-            axis=1)
+        hist = hist_or_parts
         cols = lw_pack_cols(um_g, vm_g, clear_g, clear_prev_g,
                             jnp.moveaxis(clear_next, 1, 0))
         init_up = jnp.concatenate(
@@ -207,13 +206,18 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
             interpret=(mode == "interpret"))
         fup_hist = dn6[:, 0:3]
         fdn_hist = dn6[:, 3:6]
-        trans = T_h
+        # transmittance matrices for the LW-derivatives finish: a
+        # 9-row slice of the packed hist
+        trans = hist[:, nreg * nreg:2 * nreg * nreg].reshape(
+            nlev, nreg, nreg, ng, ncol)
         up_prof = jnp.concatenate(
             [src_top.sum(0)[None], fup_hist.sum(1)], axis=0)
         dn_prof = jnp.concatenate(
             [jnp.zeros((1, ng, ncol), dtype), fdn_hist.sum(1)], axis=0)
         return _lw_finish(cfg, up_prof, dn_prof, trans, um_g, rc, tc,
                           suc, sdc, emission, albedo, tcc)
+
+    R_h, T_h, SU_h, SD_h = hist_or_parts
 
     fields_up = (R_h, T_h, SU_h, SD_h, clear_g,
                  clear_prev_g, um_g[:nlev], vm_g[:nlev])

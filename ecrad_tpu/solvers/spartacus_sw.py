@@ -248,31 +248,34 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     # CPU path runs the identical cell math per level inside a scan.
     # The five histories cost 45 * nlev * ng * ncol * 4 B (1.4 GB at
     # 512 columns) — SPARTACUS benches at 512 for this reason.
-    R_h, T_h, RD_h, TD_h, TDD_h = sw_reftrans_levels(
+    # On TPU the two sequential adding sweeps run as fused Pallas
+    # kernels with the scan carry resident in VMEM
+    # (ops/spartacus_adding.py); the lax.scan path below is the CPU
+    # fallback and the entrapment-diagnostics path.
+    # ECRAD_SPARTACUS_ADDING=scan|kernel|interpret overrides (tests).
+    # The fused sweeps hardcode the 3-region packed-row layout; nreg=2
+    # configs take the scan path.
+    import os
+    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
+    use_kernel = ((use_pallas_default() if mode == ""
+                   else mode in ("kernel", "interpret"))
+                  and not cfg.do_print_entrapment_data and nreg == 3)
+
+    # Kernel path: reftrans emits the packed [R|T|RD|TD|TDD] hist rows
+    # the adding kernels consume directly (the unpack + re-concat
+    # round trip costed ~17 ms of HBM copies at 2048 columns).
+    hist_or_parts = sw_reftrans_levels(
         cfg, nreg, od_r, ssa_r, g_r, trd_g, trf_g, mu0, use3d_g,
-        clear_g, use_pallas_default())
+        clear_g, use_pallas_default(), packed=use_kernel)
 
     clear_next = jnp.concatenate(
         [clear_lay[:, 1:], jnp.ones((ncol, 1), bool)], axis=1)
     # direct0: (nreg, ng, ncol)
     direct0 = incoming_sw.T[None] * reg_fracs[:, 0].T[:, None, :]
 
-    # On TPU the two sequential adding sweeps run as fused Pallas
-    # kernels with the scan carry resident in VMEM
-    # (ops/spartacus_adding.py); the lax.scan path below is the CPU
-    # fallback and the entrapment-diagnostics path.
-    # ECRAD_SPARTACUS_ADDING=scan|kernel|interpret overrides (tests).
-    import os
-    mode = os.environ.get("ECRAD_SPARTACUS_ADDING", "")
-    use_kernel = (use_pallas_default() if mode == ""
-                  else mode in ("kernel", "interpret"))
-    # the fused sweeps hardcode the 3-region packed-row layout; nreg=2
-    # configs take the scan path below
-    if use_kernel and not cfg.do_print_entrapment_data and nreg == 3:
+    if use_kernel:
         from ..ops.spartacus_adding import pack_cols, sw_adding_sweeps
-        hist = jnp.concatenate(
-            [x.reshape(nlev, nreg * nreg, ng, ncol)
-             for x in (R_h, T_h, RD_h, TD_h, TDD_h)], axis=1)
+        hist = hist_or_parts
         cols = pack_cols(
             um_g, vm_g, jnp.moveaxis(cloud.fraction, 1, 0),
             jnp.moveaxis(dz, 1, 0),
@@ -299,6 +302,8 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
             cos_sza, incoming_sw, albedo_diffuse, albedo_direct,
             rc, tc, rdc, tdc, tddc, tcc)
         return total, clear, tcc, {}
+
+    R_h, T_h, RD_h, TD_h, TDD_h = hist_or_parts
 
     # Per-level inputs in natural TOA->surface order; the upward scan
     # runs with reverse=True (surface first), so no flip copies are
