@@ -84,13 +84,22 @@ def bench_solver(solver, inputs, baselines):
     out = fn(*batch)
     float(out.lw_up[0, 0])
 
+    # Steady-state throughput, the reference driver's own methodology
+    # (nrepeat back-to-back solver calls, one timer around the loop;
+    # driver/ecrad_driver.F90:267,306): nrepeat dispatches queue
+    # asynchronously on the device and ONE scalar fetch at the end
+    # forces completion, so the ~25 ms axon-relay fetch latency is
+    # amortized over the loop instead of being charged to every
+    # repetition (round 1-4 numbers paid it per rep; see BASELINE.md
+    # round-5 note). Two passes, best-of.
     nrepeat = int(os.environ.get("ECRAD_BENCH_REPEAT", "10"))
     times = []
-    for _ in range(nrepeat):
+    for _ in range(2):
         t0 = time.perf_counter()
-        out = fn(*batch)
+        for _ in range(nrepeat):
+            out = fn(*batch)
         float(out.lw_up[0, 0])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / nrepeat)
     elapsed = min(times)
 
     cols_per_sec = ncol / elapsed

@@ -153,31 +153,36 @@ def calc_overlap_matrices(reg_fracs, overlap_param, decorr_scaling,
     return u, v, cloud_cover
 
 
-def _region_props_sw(cfg, band_from_g, od, ssa, g, od_cloud, ssa_cloud,
-                     g_cloud, od_scaling, cloud_mask):
-    """Per-region SW optical properties: (ncol, nlev, nreg, ng)."""
-    nreg = od_scaling.shape[-1]
-    odc = od_cloud[:, :, band_from_g]
-    ssac = ssa_cloud[:, :, band_from_g]
-    gc = g_cloud[:, :, band_from_g]
-    outs_od, outs_ssa, outs_g = [od], [ssa], [g]
+def _region_props_sw_g(cfg, band_from_g, od_g, ssa_g, g_g, odc_g,
+                       ssac_g, gc_g, sc_g, cmask_g):
+    """Per-region SW optical properties in the g-first layout:
+    inputs (nlev, ng, ncol) [cloud fields band-expanded], sc_g
+    (nlev, nreg, ncol), cmask_g (nlev, 1, ncol); returns stacks
+    (nlev, nreg, ng, ncol). Computing region properties (and the
+    Meador-Weaver reftrans after them) directly g-first removes the
+    5 big output transposes the level sweeps otherwise pay (~14 ms
+    at 2048 columns, tools/profile_ops.py round 5) — only the 3
+    gas-optics inputs are transposed."""
+    nreg = sc_g.shape[1]
+    outs_od, outs_ssa, outs_g = [od_g], [ssa_g], [g_g]
     for r in range(1, nreg):
-        s = od_scaling[:, :, r][..., None]
-        odc_r = odc * s
-        od_t = od + odc_r
-        scat = ssa * od + ssac * odc_r
-        ssa_t = jnp.where(od_t > 0, scat / jnp.maximum(od_t, 1e-30), 0.0)
+        s = sc_g[:, r][:, None, :]
+        odc_r = odc_g * s
+        od_t = od_g + odc_r
+        scat = ssa_g * od_g + ssac_g * odc_r
+        ssa_t = jnp.where(od_t > 0, scat / jnp.maximum(od_t, 1e-30),
+                          0.0)
         g_t = jnp.where(scat > 0,
-                        (g * ssa * od + gc * ssac * odc_r)
+                        (g_g * ssa_g * od_g + gc_g * ssac_g * odc_r)
                         / jnp.maximum(scat, 1e-30), 0.0)
-        od_t = jnp.where(cloud_mask, od_t, od)
-        ssa_t = jnp.where(cloud_mask, ssa_t, ssa)
-        g_t = jnp.where(cloud_mask, g_t, g)
+        od_t = jnp.where(cmask_g, od_t, od_g)
+        ssa_t = jnp.where(cmask_g, ssa_t, ssa_g)
+        g_t = jnp.where(cmask_g, g_t, g_g)
         outs_od.append(od_t)
         outs_ssa.append(ssa_t)
         outs_g.append(g_t)
-    return (jnp.stack(outs_od, axis=2), jnp.stack(outs_ssa, axis=2),
-            jnp.stack(outs_g, axis=2))
+    return (jnp.stack(outs_od, axis=1), jnp.stack(outs_ssa, axis=1),
+            jnp.stack(outs_g, axis=1))
 
 
 def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
@@ -197,26 +202,23 @@ def solver_tripleclouds_sw(setup, single_level, cloud, od, ssa, g,
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
 
-    cloud_mask = (cloud.fraction > 0.0)[..., None]
-    od_r, ssa_r, g_r = _region_props_sw(cfg, band_from_g, od, ssa, g,
-                                        od_cloud, ssa_cloud, g_cloud,
-                                        od_scaling, cloud_mask)
+    # region-leading g-first layout throughout (per-level slices are
+    # (nreg, ng, ncol): regions leading, g in SUBLANES — see
+    # solvers/adding.py _to_gfirst). Only the gas-optics inputs are
+    # transposed; region props + Meador-Weaver run natively g-first.
+    gT = lambda x: jnp.transpose(x, (1, 2, 0))     # (nlev, ng, ncol)
+    bandx = lambda x: gT(x)[:, band_from_g, :]
+    cmask_g = jnp.moveaxis(cloud.fraction > 0.0, 1, 0)[:, None, :]
+    od_r, ssa_r, g_r = _region_props_sw_g(
+        cfg, band_from_g, gT(od), gT(ssa), gT(g), bandx(od_cloud),
+        bandx(ssa_cloud), bandx(g_cloud),
+        jnp.moveaxis(od_scaling, (1, 2), (0, 1)), cmask_g)
     if cfg.do_sw_delta_scaling_with_gases:
         od_r, ssa_r, g_r = delta_eddington(od_r, ssa_r, g_r)
-    mu0_b = mu0[:, None, None, None]
+    mu0_b = mu0[None, None, None, :]
     g1, g2, g3 = ts.sw_gammas(mu0_b, ssa_r, g_r)
     ref, trans, ref_dir, tdd, tdir = ts.sw_reftrans(
-        mu0_b, od_r, ssa_r, g1, g2, g3)   # (ncol, nlev, nreg, ng)
-    # region-leading g-first layout for the level scans: per-level
-    # slices are (nreg, ng, ncol) — regions leading (trailing (3, ng)
-    # dims would pad to (8, 128), ~3x waste) and g in SUBLANES (ng in
-    # the lane dim pads 140->256, 1.8x HBM amplification per scan step;
-    # see solvers/adding.py _to_gfirst)
-    def gmin(x):
-        return jnp.transpose(x, (1, 2, 3, 0))      # (nlev, nreg, ng, ncol)
-
-    ref, trans, ref_dir, tdd, tdir = (gmin(x) for x in
-                                      (ref, trans, ref_dir, tdd, tdir))
+        mu0_b, od_r, ssa_r, g1, g2, g3)   # (nlev, nreg, ng, ncol)
     # overlap matrices per interface: (nlev+1, nreg, nreg, 1, ncol)
     vm_g = jnp.transpose(v_mat, (1, 2, 3, 0))[..., None, :]
 
@@ -383,34 +385,41 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
         reg_fracs, cloud.overlap_param, cfg.cloud_inhom_decorr_scaling,
         cfg.cloud_fraction_threshold, cfg.use_beta_overlap)
 
-    planck_top = planck_hl[:, :-1, :]
-    planck_bot = planck_hl[:, 1:, :]
-    odc = od_cloud[:, :, band_from_g]
-    ssac = ssa_cloud[:, :, band_from_g]
-    gc = g_cloud[:, :, band_from_g]
-    cloud_mask = (cloud.fraction > 0.0)[..., None]
+    # g-first inputs (nlev, ng, ncol): the whole per-region loop runs
+    # in the scan layout so no per-region output transposes are needed
+    # (see _region_props_sw_g)
+    gT = lambda x: jnp.transpose(x, (1, 2, 0))
+    od_g, ssa_g, g_g = gT(od), gT(ssa), gT(g)
+    planck_top = gT(planck_hl[:, :-1, :])
+    planck_bot = gT(planck_hl[:, 1:, :])
+    odc = gT(od_cloud)[:, band_from_g, :]
+    ssac = gT(ssa_cloud)[:, band_from_g, :]
+    gc = gT(g_cloud)[:, band_from_g, :]
+    sc_g = jnp.moveaxis(od_scaling, (1, 2), (0, 1))  # (nlev, nreg, ncol)
+    cloud_mask = jnp.moveaxis(cloud.fraction > 0.0, 1, 0)[:, None, :]
     clear_lay = ~(cloud.fraction > 0.0)
 
-    # per-region reftrans + sources
+    # per-region reftrans + sources, all (nlev, ng, ncol)
     refs, transs, sups, sdns = [], [], [], []
     for r in range(nreg):
         if r == 0:
-            od_t, ssa_t, g_t = od, ssa, g
+            od_t, ssa_t, g_t = od_g, ssa_g, g_g
         else:
-            s = od_scaling[:, :, r][..., None]
+            s = sc_g[:, r][:, None, :]
             odc_r = odc * s
-            od_t = od + odc_r
+            od_t = od_g + odc_r
             if cfg.do_lw_cloud_scattering:
                 if cfg.do_lw_aerosol_scattering:
-                    scat = ssa * od + ssac * odc_r
+                    scat = ssa_g * od_g + ssac * odc_r
                 else:
                     scat = ssac * odc_r
                 ssa_t = jnp.where(od_t > 0,
                                   scat / jnp.maximum(od_t, 1e-30), 0.0)
                 if cfg.do_lw_aerosol_scattering:
-                    g_t = jnp.where(scat > 0,
-                                    (g * ssa * od + gc * ssac * odc_r)
-                                    / jnp.maximum(scat, 1e-30), 0.0)
+                    g_t = jnp.where(
+                        scat > 0,
+                        (g_g * ssa_g * od_g + gc * ssac * odc_r)
+                        / jnp.maximum(scat, 1e-30), 0.0)
                 else:
                     g_t = jnp.where(scat > 0,
                                     gc * ssac * odc_r
@@ -418,7 +427,7 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
             else:
                 ssa_t = jnp.zeros_like(od_t)
                 g_t = jnp.zeros_like(od_t)
-            od_t = jnp.where(cloud_mask, od_t, od)
+            od_t = jnp.where(cloud_mask, od_t, od_g)
             ssa_t = jnp.where(cloud_mask, ssa_t, 0.0)
             g_t = jnp.where(cloud_mask, g_t, 0.0)
         scattering = (cfg.do_lw_aerosol_scattering if r == 0
@@ -432,13 +441,10 @@ def solver_tripleclouds_lw(setup, single_level, cloud, od, ssa, g,
                 od_t, planck_top, planck_bot)
             rr = jnp.zeros_like(tt)
         refs.append(rr), transs.append(tt), sups.append(su), sdns.append(sd)
-    # region-leading g-first layout (see the SW solver): per-level
-    # slices (nreg, ng, ncol)
-    gfx = lambda x: jnp.transpose(x, (1, 2, 0))
-    ref = jnp.stack([gfx(x) for x in refs], axis=1)
-    trans = jnp.stack([gfx(x) for x in transs], axis=1)
-    sup = jnp.stack([gfx(x) for x in sups], axis=1)
-    sdn = jnp.stack([gfx(x) for x in sdns], axis=1)
+    ref = jnp.stack(refs, axis=1)        # (nlev, nreg, ng, ncol)
+    trans = jnp.stack(transs, axis=1)
+    sup = jnp.stack(sups, axis=1)
+    sdn = jnp.stack(sdns, axis=1)
     # clear-sky layer properties stay g-first (nlev, ng, ncol)
     sup_clear = sup[:, 0]
     sdn_clear = sdn[:, 0]
