@@ -82,8 +82,13 @@ def test_spartacus_3d_matches_monte_carlo(mc_reference, runs):
     dn_surf = np.asarray(f3d.sw_dn)[:, -1]
     mc_up = mc_reference["up_toa_3D"][0]
     mc_dn = mc_reference["dn_surf_3D"][0]
-    assert np.abs(up_toa - mc_up).max() < 10.0
-    assert np.abs(dn_surf - mc_dn).max() < 12.0
+    # regression ceilings pinned at ~1.15x measured (round 5:
+    # up 7.31 / dn 7.90 W/m2 after the f32-conditioning and exp
+    # accuracy fixes) so 3D physics quality ratchets instead of
+    # merely not-exploding (the original Monte-Carlo envelopes were
+    # 10/12; Hogan et al. 2016 report a similar scale)
+    assert np.abs(up_toa - mc_up).max() < 8.5
+    assert np.abs(dn_surf - mc_dn).max() < 9.0
 
 
 def test_3d_effects_close_gap_to_monte_carlo(mc_reference, runs):
@@ -95,8 +100,10 @@ def test_3d_effects_close_gap_to_monte_carlo(mc_reference, runs):
     err_3d = np.abs(np.asarray(f3d.sw_up)[:, 0] - mc_up)
     # 1D lacks cloud-side interception: large gap at low sun
     assert err_1d.max() > 15.0
-    assert err_3d.max() < err_1d.max() / 2.0
-    assert err_3d.mean() < err_1d.mean()
+    # measured round 5: err_1d.max 25.3 / err_3d.max 7.3, mean 11.0
+    # vs 3.2 — ratchet at 1d/3 and mean/2.5
+    assert err_3d.max() < err_1d.max() / 3.0
+    assert err_3d.mean() < err_1d.mean() / 2.5
 
 
 def test_spartacus_1d_vs_ica_golden(runs):
@@ -142,6 +149,7 @@ def test_spartacus_explicit_entrapment_vs_monte_carlo(mc_reference):
     up_toa = np.asarray(flux.sw_up)[:, 0]
     mc_up = mc_reference["up_toa_3D"][0]
     assert np.isfinite(up_toa).all()
-    # same envelope as the Maximum-entrapment validation, slightly wider
-    # (the MC was generated to compare against Maximum)
-    assert np.abs(up_toa - mc_up).max() < 15.0
+    # regression ceiling ~1.25x measured (round 5: 5.96 W/m2; the MC
+    # was generated to compare against Maximum entrapment, so keep a
+    # slightly wider margin than the Maximum test's)
+    assert np.abs(up_toa - mc_up).max() < 7.5
