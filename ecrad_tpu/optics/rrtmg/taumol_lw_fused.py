@@ -840,7 +840,7 @@ def _taumol_lw_fused_flat(fc, ic, fd: LwFusedTables, use_pallas: bool,
     cells otherwise)."""
     if not tile:
         import os
-        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
+        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '512'))
     n = fc.shape[1]
     if not use_pallas:
         tabs = {k: jnp.asarray(getattr(fd, k))

@@ -347,7 +347,7 @@ def _taumol_sw_fused_flat(fc, ic, fd: SwFusedTables, use_pallas: bool,
     HBM relayout afterwards) — see taumol_lw_fused."""
     if not tile:
         import os
-        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '256'))
+        tile = int(os.environ.get('ECRAD_TAUMOL_TILE', '512'))
     n = fc.shape[1]
     if not use_pallas:
         tabs = {k: jnp.asarray(getattr(fd, k))
