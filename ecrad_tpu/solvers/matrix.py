@@ -27,6 +27,10 @@ _MAX_SQUARINGS = 10
 # costing only two extra (cheaper) doubling steps.
 _THETA_DBL = _THETA3 / 4.0
 _MAX_DOUBLINGS = _MAX_SQUARINGS + 2
+# Pade-5 coefficients: at the doubling-form theta (~0.98) the [5/5]
+# approximant is already below f32 roundoff (Higham's single-precision
+# theta_5 ~ 1.8), saving one block-product per cell vs Pade-7
+_C5 = (30240.0, 15120.0, 3360.0, 420.0, 30.0, 1.0)
 
 
 def _squaring_count(norm1, theta=_THETA3, max_count=_MAX_SQUARINGS):
@@ -301,7 +305,12 @@ def expm_reftrans_lw_g(Atl, Bbl, fixed_doublings=None):
     G = jnp.concatenate(
         [jnp.concatenate([Xs, -Ys], axis=1),
          jnp.concatenate([Ys, -Xs], axis=1)], axis=0)
-    E = _pade7_g(G)
+    A2 = mm_gu(G, G)
+    A4 = mm_gu(A2, A2)
+    V = add_eye_g(_C5[5] * A4 + _C5[3] * A2, _C5[1])
+    U = mm_gu(G, V)
+    V = add_eye_g(_C5[4] * A4 + _C5[2] * A2, _C5[0])
+    E = add_eye_g(solve_g(V - U, 2.0 * U), 1.0)
     # thin-layer extraction (well-conditioned: A ~ I + O(theta))
     R = -solve_g(E[:n, :n], E[:n, n:])
     T = E[n:, n:] + mm_gu(E[n:, :n], R)
@@ -379,16 +388,15 @@ def expm_reftrans_sw_g(M, C, D, fixed_doublings=None):
     As = (Ms, Cs, Ds)
     A2 = bprod(As, As)
     A4 = bprod(A2, A2)
-    A6 = bprod(A2, A4)
 
-    def pade_sum(c6, c4, c2, c0):
-        return (add_eye_g(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
-                c6 * A6[1] + c4 * A4[1] + c2 * A2[1],
-                add_eye_g(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
+    def pade_sum(c4, c2, c0):
+        return (add_eye_g(c4 * A4[0] + c2 * A2[0], c0),
+                c4 * A4[1] + c2 * A2[1],
+                add_eye_g(c4 * A4[2] + c2 * A2[2], c0))
 
-    V = pade_sum(_C[7], _C[5], _C[3], _C[1])
+    V = pade_sum(_C5[5], _C5[3], _C5[1])
     U = bprod(As, V)
-    V = pade_sum(_C[6], _C[4], _C[2], _C[0])
+    V = pade_sum(_C5[4], _C5[2], _C5[0])
     Pm = V[0] - U[0]
     Pc = V[1] - U[1]
     Pd = V[2] - U[2]
@@ -496,16 +504,15 @@ def expm_sw_g(M, C, D, fixed_squarings=None):
     As = (Ms, Cs, Ds)
     A2 = bprod(As, As)
     A4 = bprod(A2, A2)
-    A6 = bprod(A2, A4)
 
-    def pade_sum(c6, c4, c2, c0):
-        return (add_eye_g(c6 * A6[0] + c4 * A4[0] + c2 * A2[0], c0),
-                c6 * A6[1] + c4 * A4[1] + c2 * A2[1],
-                add_eye_g(c6 * A6[2] + c4 * A4[2] + c2 * A2[2], c0))
+    def pade_sum(c4, c2, c0):
+        return (add_eye_g(c4 * A4[0] + c2 * A2[0], c0),
+                c4 * A4[1] + c2 * A2[1],
+                add_eye_g(c4 * A4[2] + c2 * A2[2], c0))
 
-    V = pade_sum(_C[7], _C[5], _C[3], _C[1])
+    V = pade_sum(_C5[5], _C5[3], _C5[1])
     U = bprod(As, V)
-    V = pade_sum(_C[6], _C[4], _C[2], _C[0])
+    V = pade_sum(_C5[4], _C5[2], _C5[0])
     # solve (V - U) X = 2U blockwise: the system matrix is itself
     # [[Pm, Pc], [0, Pd]], so back-substitute the direct block first
     Pm = V[0] - U[0]
