@@ -56,7 +56,7 @@ _NOTTOP = 45
 _TANSZA = 46
 NCOLROWS = 47
 
-_LB = 128         # lane (column) tile
+_LB = int(__import__('os').environ.get('ECRAD_SPADD_LB', '128'))  # lane (column) tile
 
 
 def _mat(rows, base):

@@ -66,34 +66,38 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     clear_lay = ~cloudy
     has_3d = cloudy & (edge_len[:, :, 0] > 0.0)
 
-    # --- per-region optical properties (ncol, nlev, nreg, ng) ------------
-    odc = od_cloud[:, :, band_from_g]
-    ssac = ssa_cloud[:, :, band_from_g]
-    gc = g_cloud[:, :, band_from_g]
-    cloud_mask = cloudy[..., None]
-    od_list, ssa_list, g_list = [od], [ssa], [g]
+    # --- per-region optical properties, natively g-first ------------------
+    # (nlev, ng, ncol) inputs; no output transposes (see the SW solver)
+    gf = lambda x: jnp.transpose(x, (1, 2, 0))
+    od_g, ssa_g, g_g = gf(od), gf(ssa), gf(g)
+    odc = gf(od_cloud)[:, band_from_g, :]
+    ssac = gf(ssa_cloud)[:, band_from_g, :]
+    gc = gf(g_cloud)[:, band_from_g, :]
+    sc_g = jnp.moveaxis(od_scaling, (1, 2), (0, 1))
+    cloud_mask = jnp.moveaxis(cloudy, 1, 0)[:, None, :]
+    od_list, ssa_list, g_list = [od_g], [ssa_g], [g_g]
     for r in range(1, nreg):
-        s = od_scaling[:, :, r][..., None]
+        s = sc_g[:, r][:, None, :]
         odc_r = odc * s
-        od_t = jnp.minimum(od + odc_r, cfg.max_cloud_od)
+        od_t = jnp.minimum(od_g + odc_r, cfg.max_cloud_od)
         if cfg.do_lw_cloud_scattering:
-            scat = ssa * od + ssac * odc_r
-            ssa_t = jnp.where(od + odc_r > 0,
-                              scat / jnp.maximum(od + odc_r, 1e-30), 0.0)
+            scat = ssa_g * od_g + ssac * odc_r
+            ssa_t = jnp.where(od_g + odc_r > 0,
+                              scat / jnp.maximum(od_g + odc_r, 1e-30),
+                              0.0)
             g_t = jnp.where(scat > 0,
-                            (g * ssa * od + gc * ssac * odc_r)
+                            (g_g * ssa_g * od_g + gc * ssac * odc_r)
                             / jnp.maximum(scat, 1e-30), 0.0)
         else:
             ssa_t = jnp.zeros_like(od_t)
             g_t = jnp.zeros_like(od_t)
-        od_list.append(jnp.where(cloud_mask, od_t, od))
+        od_list.append(jnp.where(cloud_mask, od_t, od_g))
         ssa_list.append(jnp.where(cloud_mask, ssa_t, 0.0))
         g_list.append(jnp.where(cloud_mask, g_t, 0.0))
     # (nlev, nreg, ng, ncol)
-    gf = lambda x: jnp.transpose(x, (1, 2, 0))
-    od_r = jnp.stack([gf(x) for x in od_list], axis=1)
-    ssa_r = jnp.stack([gf(x) for x in ssa_list], axis=1)
-    g_r = jnp.stack([gf(x) for x in g_list], axis=1)
+    od_r = jnp.stack(od_list, axis=1)
+    ssa_r = jnp.stack(ssa_list, axis=1)
+    g_r = jnp.stack(g_list, axis=1)
 
     # --- lateral transfer rates + side emissivity -------------------------
     eps = 1.2e-7
@@ -147,9 +151,10 @@ def solver_spartacus_lw(setup, single_level, thermodynamics, cloud,
     # (nlev, nreg, 1, ncol)
     frac_g = jnp.transpose(reg_fracs, (1, 2, 0))[:, :, None, :]
 
-    g_ok = od <= cfg.max_gas_od_3d
-    use3d = (has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
-    use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
+    g_ok_g = od_g <= cfg.max_gas_od_3d
+    has_3d_g = jnp.moveaxis(has_3d, 1, 0)[:, None, :]
+    use3d_g = ((has_3d_g | cfg.use_expm_everywhere)
+               & g_ok_g)                           # (nlev, ng, ncol)
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
     # clear-sky per-layer properties

@@ -167,42 +167,48 @@ def solver_spartacus_sw(setup, single_level, thermodynamics, cloud,
     trd_g = jnp.transpose(tr_dir, (1, 2, 3, 0))[..., None, :]
     trf_g = jnp.transpose(tr_diff, (1, 2, 3, 0))[..., None, :]
 
-    # --- per-region optical properties -----------------------------------
-    odc = od_cloud[:, :, band_from_g]
-    ssac = ssa_cloud[:, :, band_from_g]
-    gc = g_cloud[:, :, band_from_g]
-    cloud_mask = cloudy[..., None]
-    od_list, ssa_list, g_list = [od], [ssa], [g]
+    # --- per-region optical properties, natively g-first ------------------
+    # only the gas-optics inputs are transposed; the per-region loop
+    # and the 3D-selection masks run in the (nlev, ng, ncol) layout so
+    # no (nlev, nreg, ng, ncol) output transposes are needed (the
+    # Tripleclouds rationale, ~10 ms at 2048 columns)
+    gfx = lambda x: jnp.transpose(x, (1, 2, 0))    # (nlev, ng, ncol)
+    od_g, ssa_g, g_g = gfx(od), gfx(ssa), gfx(g)
+    odc = gfx(od_cloud)[:, band_from_g, :]
+    ssac = gfx(ssa_cloud)[:, band_from_g, :]
+    gc = gfx(g_cloud)[:, band_from_g, :]
+    sc_g = jnp.moveaxis(od_scaling, (1, 2), (0, 1))  # (nlev, nreg, ncol)
+    cloud_mask = jnp.moveaxis(cloudy, 1, 0)[:, None, :]
+    od_list, ssa_list, g_list = [od_g], [ssa_g], [g_g]
     for r in range(1, nreg):
-        s = od_scaling[:, :, r][..., None]
+        s = sc_g[:, r][:, None, :]
         odc_r = odc * s
-        od_t = jnp.minimum(od + odc_r, cfg.max_cloud_od)
-        scat = ssa * od + ssac * odc_r
-        ssa_t = jnp.where(od + odc_r > 0,
-                          scat / jnp.maximum(od + odc_r, 1e-30), 0.0)
+        od_t = jnp.minimum(od_g + odc_r, cfg.max_cloud_od)
+        scat = ssa_g * od_g + ssac * odc_r
+        ssa_t = jnp.where(od_g + odc_r > 0,
+                          scat / jnp.maximum(od_g + odc_r, 1e-30), 0.0)
         g_t = jnp.where(scat > 0,
-                        (g * ssa * od + gc * ssac * odc_r)
+                        (g_g * ssa_g * od_g + gc * ssac * odc_r)
                         / jnp.maximum(scat, 1e-30), 0.0)
-        od_list.append(jnp.where(cloud_mask, od_t, od))
-        ssa_list.append(jnp.where(cloud_mask, ssa_t, ssa))
-        g_list.append(jnp.where(cloud_mask, g_t, g))
-    # g-first stacks: (nlev, nreg, ng, ncol)
-    gfx = lambda x: jnp.transpose(x, (1, 2, 0))
-    od_r = jnp.stack([gfx(x) for x in od_list], axis=1)
-    ssa_r = jnp.stack([gfx(x) for x in ssa_list], axis=1)
-    g_r = jnp.stack([gfx(x) for x in g_list], axis=1)
+        od_list.append(jnp.where(cloud_mask, od_t, od_g))
+        ssa_list.append(jnp.where(cloud_mask, ssa_t, ssa_g))
+        g_list.append(jnp.where(cloud_mask, g_t, g_g))
+    # (nlev, nreg, ng, ncol)
+    od_r = jnp.stack(od_list, axis=1)
+    ssa_r = jnp.stack(ssa_list, axis=1)
+    g_r = jnp.stack(g_list, axis=1)
 
-    # 3D-selection mask (ncol, nlev, ng) -> per level (ng, ncol).
+    # 3D-selection mask, g-first (nlev, ng, ncol).
     # Sub-horizon columns are excluded like the reference's early
     # cycle (radiation_spartacus_sw.F90:360): their fluxes are zeroed
     # at the end, and running them through expm would put od/mu0 ~
     # 1e11 diagonals into Gamma (mu0 clamped at 1e-10), forcing the
     # max squaring count on every cloudy level's whole batch.
-    g_ok = od <= cfg.max_gas_od_3d
-    daylit = (cos_sza > 1.0e-10)[:, None, None]
-    use3d = ((has_3d[..., None] | cfg.use_expm_everywhere) & g_ok
-             & daylit)
-    use3d_g = jnp.transpose(use3d, (1, 2, 0))      # (nlev, ng, ncol)
+    g_ok_g = od_g <= cfg.max_gas_od_3d
+    daylit_g = (cos_sza > 1.0e-10)[None, None, :]
+    has_3d_g = jnp.moveaxis(has_3d, 1, 0)[:, None, :]
+    use3d_g = ((has_3d_g | cfg.use_expm_everywhere) & g_ok_g
+               & daylit_g)                         # (nlev, ng, ncol)
     clear_lay = ~cloudy
     clear_g = jnp.moveaxis(clear_lay, 1, 0)        # (nlev, ncol)
 
