@@ -43,15 +43,6 @@ def solver_mcica_sw(config: RadiationConfig, pdf_sampler: PdfSampler,
     ncol, nlev, ng = od.shape
     mu0 = jnp.maximum(cos_sza, 1e-10)[None, :]     # (1, ncol) g-first
 
-    # ---- clear sky (g-first layout throughout; see cloudless.py) --------
-    r_c, t_c, rd_c, tdd_c, tdir_c = _sw_reftrans(
-        mu0, _gf(od), _gf(ssa), _gf(g),
-        config.do_sw_delta_scaling_with_gases)
-    up_c, dnd_c, dndir_c = adding_sw(
-        r_c, t_c, rd_c, tdd_c, tdir_c, incoming_sw.T,
-        albedo_diffuse.T, albedo_direct.T, jnp.maximum(cos_sza, 1e-10),
-        gfirst=True)
-
     # ---- cloud generator ---------------------------------------------------
     od_scaling, tcc = cloud_generator(
         ng, iseed, config.i_overlap_scheme,
@@ -60,22 +51,21 @@ def solver_mcica_sw(config: RadiationConfig, pdf_sampler: PdfSampler,
         cloud.fractional_std, pdf_sampler,
         is_beta_overlap=config.use_beta_overlap)
 
-    # ---- total sky ---------------------------------------------------------
-    cloud_mask = (cloud.fraction
-                  >= config.cloud_fraction_threshold)[..., None]
-    od_t, ssa_t, g_t = combine_cloud_gas_sw(
-        od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
-        od_scaling=od_scaling, cloud_mask=cloud_mask)
-    r, t, rd, tdd, tdir = _sw_reftrans(
-        mu0, _gf(od_t), _gf(ssa_t), _gf(g_t),
-        config.do_sw_delta_scaling_with_gases)
-    # clear layers reuse the clear-sky reftrans exactly
-    mask_g = cloud.fraction.T[:, None, :] >= config.cloud_fraction_threshold
-    r = jnp.where(mask_g, r, r_c)
-    t = jnp.where(mask_g, t, t_c)
-    rd = jnp.where(mask_g, rd, rd_c)
-    tdd = jnp.where(mask_g, tdd, tdd_c)
-    tdir = jnp.where(mask_g, tdir, tdir_c)
+    # ---- clear + total-sky layer properties ----------------------------
+    # (ops/mcica_optics.py; use_pallas=False everywhere — the fused
+    # Pallas form was measured a 33% McICA LOSS on TPU, see CLAUDE.md
+    # measured losses (10); XLA's own fusions win here)
+    from ..ops.mcica_optics import sw_clear_total_reftrans
+    frac_mask = cloud.fraction >= config.cloud_fraction_threshold
+    (r_c, t_c, rd_c, tdd_c, tdir_c, r, t, rd, tdd, tdir) = \
+        sw_clear_total_reftrans(
+            od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
+            od_scaling, frac_mask, cos_sza,
+            config.do_sw_delta_scaling_with_gases, use_pallas=False)
+    up_c, dnd_c, dndir_c = adding_sw(
+        r_c, t_c, rd_c, tdd_c, tdir_c, incoming_sw.T,
+        albedo_diffuse.T, albedo_direct.T, jnp.maximum(cos_sza, 1e-10),
+        gfirst=True)
     up, dnd, dndir = adding_sw(
         r, t, rd, tdd, tdir, incoming_sw.T, albedo_diffuse.T,
         albedo_direct.T, jnp.maximum(cos_sza, 1e-10), gfirst=True)
@@ -113,22 +103,6 @@ def solver_mcica_lw(config: RadiationConfig, pdf_sampler: PdfSampler,
     emis_g, alb_g = emission.T, albedo.T
     do_clear_scat = (config.do_lw_aerosol_scattering)
 
-    # ---- clear sky (g-first layout throughout; see cloudless.py) --------
-    if do_clear_scat:
-        g1, g2 = ts.lw_gammas(_gf(ssa), _gf(g))
-        r_c, t_c, su_c, sd_c = ts.lw_reftrans(_gf(od), g1, g2,
-                                              planck_top, planck_bot)
-    else:
-        t_c, su_c, sd_c = ts.lw_no_scattering_transmittance(
-            _gf(od), planck_top, planck_bot)
-        r_c = jnp.zeros_like(t_c)
-    if do_clear_scat:
-        up_c, dn_c = adding_lw(r_c, t_c, su_c, sd_c, emis_g, alb_g,
-                               gfirst=True)
-    else:
-        up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c, emis_g,
-                                             alb_g, gfirst=True)
-
     # ---- cloud generator (seed offset 997: radiation_mcica_lw.F90) -------
     od_scaling, tcc = cloud_generator(
         ng, iseed + 997, config.i_overlap_scheme,
@@ -137,33 +111,65 @@ def solver_mcica_lw(config: RadiationConfig, pdf_sampler: PdfSampler,
         cloud.fractional_std, pdf_sampler,
         is_beta_overlap=config.use_beta_overlap)
 
-    # ---- total sky ---------------------------------------------------------
-    cloud_mask = (cloud.fraction
-                  >= config.cloud_fraction_threshold)[..., None]
-    od_t, ssa_t, g_t = combine_cloud_gas_lw(
-        od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
-        config.do_lw_cloud_scattering, od_scaling=od_scaling,
-        cloud_mask=cloud_mask)
-    mask_g = cloud.fraction.T[:, None, :] >= config.cloud_fraction_threshold
-    if config.do_lw_cloud_scattering:
-        g1, g2 = ts.lw_gammas(_gf(ssa_t), _gf(g_t))
-        r, t, su, sd = ts.lw_reftrans(_gf(od_t), g1, g2, planck_top,
-                                      planck_bot)
-        # clear layers reuse the clear-sky properties (incl. R=0 when the
-        # clear path is no-scattering: fast_adding equivalence)
-        r = jnp.where(mask_g, r, r_c)
-        t = jnp.where(mask_g, t, t_c)
-        su = jnp.where(mask_g, su, su_c)
-        sd = jnp.where(mask_g, sd, sd_c)
-        up, dn = adding_lw(r, t, su, sd, emis_g, alb_g, gfirst=True)
-    else:
-        t, su, sd = ts.lw_no_scattering_transmittance(
-            _gf(od_t), planck_top, planck_bot)
-        t = jnp.where(mask_g, t, t_c)
-        su = jnp.where(mask_g, su, su_c)
-        sd = jnp.where(mask_g, sd, sd_c)
+    if not do_clear_scat and not config.do_lw_cloud_scattering:
+        # clear + total no-scattering pass (ops/mcica_optics.py;
+        # use_pallas=False — see the SW note)
+        from ..ops.mcica_optics import lw_clear_total_noscat
+        frac_mask = cloud.fraction >= config.cloud_fraction_threshold
+        t_c, su_c, sd_c, t, su, sd = lw_clear_total_noscat(
+            od, od_cloud, band_from_g, od_scaling, frac_mask,
+            planck_hl, use_pallas=False)
+        up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c, emis_g,
+                                             alb_g, gfirst=True)
         up, dn = lw_no_scattering_fluxes(t, su, sd, emis_g, alb_g,
                                          gfirst=True)
+    else:
+        # ---- clear sky (g-first layout; see cloudless.py) -----------
+        if do_clear_scat:
+            g1, g2 = ts.lw_gammas(_gf(ssa), _gf(g))
+            r_c, t_c, su_c, sd_c = ts.lw_reftrans(_gf(od), g1, g2,
+                                                  planck_top,
+                                                  planck_bot)
+            up_c, dn_c = adding_lw(r_c, t_c, su_c, sd_c, emis_g,
+                                   alb_g, gfirst=True)
+        else:
+            t_c, su_c, sd_c = ts.lw_no_scattering_transmittance(
+                _gf(od), planck_top, planck_bot)
+            r_c = jnp.zeros_like(t_c)
+            up_c, dn_c = lw_no_scattering_fluxes(t_c, su_c, sd_c,
+                                                 emis_g, alb_g,
+                                                 gfirst=True)
+
+        # ---- total sky ----------------------------------------------
+        cloud_mask = (cloud.fraction
+                      >= config.cloud_fraction_threshold)[..., None]
+        od_t, ssa_t, g_t = combine_cloud_gas_lw(
+            od, ssa, g, od_cloud, ssa_cloud, g_cloud, band_from_g,
+            config.do_lw_cloud_scattering, od_scaling=od_scaling,
+            cloud_mask=cloud_mask)
+        mask_g = (cloud.fraction.T[:, None, :]
+                  >= config.cloud_fraction_threshold)
+        if config.do_lw_cloud_scattering:
+            g1, g2 = ts.lw_gammas(_gf(ssa_t), _gf(g_t))
+            r, t, su, sd = ts.lw_reftrans(_gf(od_t), g1, g2,
+                                          planck_top, planck_bot)
+            # clear layers reuse the clear-sky properties (incl. R=0
+            # when the clear path is no-scattering: fast_adding
+            # equivalence)
+            r = jnp.where(mask_g, r, r_c)
+            t = jnp.where(mask_g, t, t_c)
+            su = jnp.where(mask_g, su, su_c)
+            sd = jnp.where(mask_g, sd, sd_c)
+            up, dn = adding_lw(r, t, su, sd, emis_g, alb_g,
+                               gfirst=True)
+        else:
+            t, su, sd = ts.lw_no_scattering_transmittance(
+                _gf(od_t), planck_top, planck_bot)
+            t = jnp.where(mask_g, t, t_c)
+            su = jnp.where(mask_g, su, su_c)
+            sd = jnp.where(mask_g, sd, sd_c)
+            up, dn = lw_no_scattering_fluxes(t, su, sd, emis_g, alb_g,
+                                             gfirst=True)
 
     # ---- blend -------------------------------------------------------------
     has_cloud = (tcc >= config.cloud_fraction_threshold)[None, None, :]
