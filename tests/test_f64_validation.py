@@ -104,3 +104,47 @@ def test_spartacus_f32_vs_f64_golden(test_ifs_dir):
         if err >= bound:
             failures.append(f"{key}: {err:.4f} >= {bound}")
     assert not failures, failures
+
+
+@pytest.mark.parametrize("solver_name", ["tripleclouds", "homogeneous",
+                                         "cloudless"])
+def test_solver_f32_vs_f64_golden(test_ifs_dir, solver_name):
+    """Per-field f32-vs-f64 accuracy contract for the remaining
+    deterministic solvers (SPARTACUS has its own, tighter test above;
+    McICA is statistical). Bounds are ~2x the round-5 measured CPU-f32
+    errors; the shared SW floor is the Meador-Weaver f32 resonance
+    (BASELINE.md round-4 attribution)."""
+    import jax
+    import numpy as np
+    from ecrad_tpu.config import Solver, load_config_from_namelist
+    from ecrad_tpu.interface import radiation, setup_radiation
+    from ecrad_tpu.io.input_reader import read_input
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden_path = os.path.join(repo, "tests", "goldens",
+                               f"{solver_name}_meridian_f64.npz")
+    if not os.path.exists(golden_path):
+        pytest.skip("f64 golden not generated")
+    golden = np.load(golden_path)
+    solver = {"tripleclouds": Solver.TRIPLECLOUDS,
+              "homogeneous": Solver.HOMOGENEOUS,
+              "cloudless": Solver.CLOUDLESS}[solver_name]
+    inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
+    cfg = load_config_from_namelist(
+        "/root/reference/test/ifs/configCY47R1.nam",
+        directory_name="/root/reference/data",
+        do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+        do_canopy_fluxes_lw=False, i_solver_sw=solver,
+        i_solver_lw=solver)
+    setup = setup_radiation(cfg)
+    flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+    bounds = {"lw_up": 0.02, "lw_dn": 0.02,
+              "sw_up": 0.30, "sw_dn": 0.30, "sw_dn_direct": 0.02,
+              "lw_up_clear": 0.01, "lw_dn_clear": 0.01,
+              "sw_up_clear": 0.20, "sw_dn_clear": 0.20}
+    failures = []
+    for key, bound in bounds.items():
+        got = np.asarray(getattr(flux, key), np.float64)
+        err = float(np.abs(got - golden[key]).max())
+        if err >= bound:
+            failures.append(f"{key}: {err:.4f} >= {bound}")
+    assert not failures, failures

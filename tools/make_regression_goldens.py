@@ -74,37 +74,41 @@ def make_ifs_variant_goldens(outdir):
               f"{out['flux_up_lw'][:, 0].mean():.3f}")
 
 
-def make_spartacus_f64_golden(outdir):
-    """f64 CPU truth for the SPARTACUS meridian case — the anchor of
-    the production-accuracy gate (bench.py golden_check_line and
-    tests/test_f64_validation.py): both the CPU-f32 and TPU-f32
-    production paths are gated against THIS with measured per-field
-    bounds, the analogue of the reference's golden-file strategy
-    (test/ifs/README:33-37) for a solver the reference only runs in
-    double precision."""
+def make_f64_goldens(outdir):
+    """f64 CPU truth for every deterministic solver on the meridian
+    case — the anchors of the production-accuracy gates (bench.py
+    golden_check_line on TPU for SPARTACUS, and
+    tests/test_f64_validation.py per-field CPU-f32 gates for all
+    four): the analogue of the reference's golden-file strategy
+    (test/ifs/README:33-37) against double precision, which is how
+    the reference itself runs (parkind1 JPRB)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     from ecrad_tpu.config import Solver, load_config_from_namelist
     from ecrad_tpu.interface import radiation, setup_radiation
     from ecrad_tpu.io.input_reader import read_input
     inputs = read_input("/root/reference/test/ifs/ecrad_meridian.nc")
-    cfg = load_config_from_namelist(
-        "/root/reference/test/ifs/configCY47R1.nam",
-        directory_name="/root/reference/data",
-        do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
-        do_canopy_fluxes_lw=False, i_solver_sw=Solver.SPARTACUS,
-        i_solver_lw=Solver.SPARTACUS, do_3d_effects=True,
-        dtype="float64")
-    setup = setup_radiation(cfg)
-    flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
-    out = {k: np.asarray(getattr(flux, k))
-           for k in ("lw_up", "lw_dn", "sw_up", "sw_dn",
-                     "sw_dn_direct", "lw_up_clear", "lw_dn_clear",
-                     "sw_up_clear", "sw_dn_clear")}
-    path = os.path.join(outdir, "spartacus_meridian_f64.npz")
-    np.savez_compressed(path, **out)
-    print(f"wrote {path}: lw_up TOA mean "
-          f"{out['lw_up'][:, 0].mean():.3f}")
+    for name, solver, kw in [
+            ("spartacus", Solver.SPARTACUS, {"do_3d_effects": True}),
+            ("tripleclouds", Solver.TRIPLECLOUDS, {}),
+            ("homogeneous", Solver.HOMOGENEOUS, {}),
+            ("cloudless", Solver.CLOUDLESS, {})]:
+        cfg = load_config_from_namelist(
+            "/root/reference/test/ifs/configCY47R1.nam",
+            directory_name="/root/reference/data",
+            do_save_spectral_flux=False, do_canopy_fluxes_sw=False,
+            do_canopy_fluxes_lw=False, i_solver_sw=solver,
+            i_solver_lw=solver, dtype="float64", **kw)
+        setup = setup_radiation(cfg)
+        flux = jax.jit(lambda *a: radiation(setup, *a))(*inputs)
+        out = {k: np.asarray(getattr(flux, k))
+               for k in ("lw_up", "lw_dn", "sw_up", "sw_dn",
+                         "sw_dn_direct", "lw_up_clear", "lw_dn_clear",
+                         "sw_up_clear", "sw_dn_clear")}
+        path = os.path.join(outdir, f"{name}_meridian_f64.npz")
+        np.savez_compressed(path, **out)
+        print(f"wrote {path}: lw_up TOA mean "
+              f"{out['lw_up'][:, 0].mean():.3f}")
 
 
 def main():
@@ -148,6 +152,6 @@ if __name__ == "__main__":
         make_ifs_variant_goldens(outdir)
     if "--solvers" in args or not args:
         main()
-    if "--spartacus-f64" in args or not args:
+    if "--f64" in args or "--spartacus-f64" in args or not args:
         # LAST: flips jax_enable_x64 for the process
-        make_spartacus_f64_golden(outdir)
+        make_f64_goldens(outdir)
