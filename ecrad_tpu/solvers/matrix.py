@@ -21,11 +21,13 @@ _THETA3 = 3.925724783138660
 _C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
       1.0)
 _MAX_SQUARINGS = 10
-# Adding-doubling variants scale further down (theta3/4): the thin-
-# layer reflectance extraction solves A_s x = B_s with cond(A_s) ~
-# e^{2 theta}, so theta ~ 1 keeps the f32 extraction at ~1e-6 while
-# costing only two extra (cheaper) doubling steps.
-_THETA_DBL = _THETA3 / 4.0
+# Adding-doubling variants scale to theta = 1.8 — the f32 [5/5] Pade
+# validity bound (Higham's single-precision theta_5): the thin-layer
+# reflectance extraction solves A_s x = B_s with cond(A_s) ~
+# e^{2 theta} ~ 36, keeping the f32 extraction at ~4e-6 (validated:
+# end-to-end SPARTACUS f32-vs-f64 unchanged at the gate's resolution)
+# while saving one doubling step per cell vs theta3/4.
+_THETA_DBL = 1.8
 _MAX_DOUBLINGS = _MAX_SQUARINGS + 2
 # Pade-5 coefficients: at the doubling-form theta (~0.98) the [5/5]
 # approximant is already below f32 roundoff (Higham's single-precision
